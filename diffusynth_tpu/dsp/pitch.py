@@ -1,0 +1,111 @@
+"""Phase-vocoder time stretching and pitch shifting in pure JAX.
+
+TPU-native replacement for the reference's per-note librosa.effects.pitch_shift
+loop (reference: track_maker.py:12-47,144) - the single biggest track-render
+cost there. Here the phase vocoder is one lax.scan, batches over notes via
+vmap, and runs on-device; the reference's iterated <=4-semitone passes are
+replaced by a single high-resolution pass (n_fft 4096), a deliberate design
+difference documented in SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.dsp.resample import resample
+from diffusynth_tpu.dsp.stft import istft, stft
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "hop_length"))
+def phase_vocoder(D: jnp.ndarray, rate: float, hop_length: int = 1024) -> jnp.ndarray:
+    """Speed up a complex spectrogram by `rate` (librosa-compatible math).
+
+    Args:
+        D: (..., bins, frames) complex STFT.
+        rate: > 1 speeds up (fewer frames), < 1 slows down.
+    Returns:
+        (..., bins, ceil(frames / rate)) complex STFT.
+    """
+    *batch, n_bins, n_frames = D.shape
+    n_fft = 2 * (n_bins - 1)
+
+    time_steps = np.arange(0, n_frames, rate)            # static host constants
+    base = np.minimum(np.floor(time_steps).astype(np.int64), n_frames - 1)
+    nxt = np.minimum(base + 1, n_frames)                 # may hit the pad frame
+    frac = (time_steps - np.floor(time_steps)).astype(np.float32)
+
+    phi_advance = jnp.asarray(
+        np.linspace(0, np.pi * hop_length, n_bins, dtype=np.float32)
+    )
+
+    # Pad one zero frame so base+1 gathers stay in range.
+    Dp = jnp.concatenate([D, jnp.zeros((*batch, n_bins, 1), D.dtype)], axis=-1)
+    mag = jnp.abs(Dp)
+    phase = jnp.angle(Dp)
+
+    def step(phase_acc, inputs):
+        i0, i1, a = inputs
+        m = (1.0 - a) * mag[..., i0] + a * mag[..., i1]
+        dphase = phase[..., i1] - phase[..., i0] - phi_advance
+        dphase = dphase - 2.0 * jnp.pi * jnp.round(dphase / (2.0 * jnp.pi))
+        out_frame = m * jnp.exp(1j * phase_acc)
+        return phase_acc + phi_advance + dphase, out_frame
+
+    init_phase = phase[..., 0]
+    xs = (jnp.asarray(base), jnp.asarray(nxt), jnp.asarray(frac))
+    _, frames = jax.lax.scan(step, init_phase, xs)
+    # scan stacks on axis 0: (n_out, ..., bins) -> (..., bins, n_out)
+    return jnp.moveaxis(frames, 0, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rate", "n_fft", "hop_length")
+)
+def time_stretch(
+    y: jnp.ndarray, rate: float, n_fft: int = 4096, hop_length: int | None = None
+) -> jnp.ndarray:
+    """Stretch signal duration by 1/rate without changing pitch."""
+    if hop_length is None:
+        hop_length = n_fft // 4
+    D = stft(y, n_fft=n_fft, hop_length=hop_length, win_length=n_fft)
+    D2 = phase_vocoder(D, rate, hop_length=hop_length)
+    length = int(round(y.shape[-1] / rate))
+    return istft(
+        D2, n_fft=n_fft, hop_length=hop_length, win_length=n_fft, length=length
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "n_steps", "bins_per_octave", "n_fft"),
+)
+def pitch_shift(
+    y: jnp.ndarray,
+    sample_rate: int,
+    n_steps: float,
+    bins_per_octave: int = 12,
+    n_fft: int = 4096,
+) -> jnp.ndarray:
+    """Shift pitch by n_steps semitones, preserving duration.
+
+    Batched over leading dims; one XLA program per distinct n_steps (static),
+    which pipelines cache per semitone offset.
+    """
+    if n_steps == 0:
+        return y
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    stretched = time_stretch(y, rate, n_fft=n_fft)
+    # Resample back to the original duration grid: ratio target/orig == rate.
+    shifted = resample(
+        stretched, orig_sr=float(sample_rate) / rate, target_sr=float(sample_rate)
+    )
+    n = y.shape[-1]
+    cur = shifted.shape[-1]
+    if cur >= n:
+        return shifted[..., :n]
+    pad_widths = [(0, 0)] * (y.ndim - 1) + [(0, n - cur)]
+    return jnp.pad(shifted, pad_widths)
