@@ -1,0 +1,388 @@
+"""DiffSynthSampler: the inference engine, redesigned as one XLA program.
+
+Reference: model/DiffSynthSampler.py (610 lines, Python-level per-step loop
+with host sync each step). Here every sampling call - pure, img2img, or
+inpaint, with or without classifier-free guidance, DDIM or DDPM - lowers to
+a single jitted lax.scan over the respaced steps:
+
+  * CFG batch-doubling happens inside the scan body (one U-Net call on 2B).
+  * DDIM/DDPM update math uses gathered schedule constants (XLA constants).
+  * Inpaint blending (mask * q_sample(guide, t-1) + (1-mask) * img) is in
+    the body; dynamic masks enter as a (steps, W) scan input and broadcast.
+  * Per-step DDPM noise derives from a folded PRNG key and inherits the
+    "repeat" structure via the same width gather as the initial noise.
+
+Compiled programs are cached per static signature (shape, steps, mode,
+sampler, CFG on/off), so pipelines pay compile once per width bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.diffusion import masks as masks_lib
+from diffusynth_tpu.diffusion import noise as noise_lib
+from diffusynth_tpu.diffusion.schedule import Schedule, q_sample
+
+
+class DiffSynthSampler:
+    """Sampling engine over a (respaced) diffusion schedule.
+
+    Mirrors the reference API surface (sample / img_guided_sample /
+    inpaint_sample / interpolate / respace /
+    activate_classifier_free_guidance; reference: DiffSynthSampler.py:26-611)
+    but takes an explicit U-Net apply function and PRNG keys, and returns
+    only the final latent plus the initial noise (the reference accumulates
+    every intermediate; SURVEY.md section 7 quirks).
+    """
+
+    def __init__(
+        self,
+        unet_apply: Callable,     # (x, t, condition) -> predicted noise
+        timesteps: int = 1000,
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+        height: int = 128,
+        channels: int = 4,
+        train_width: int = 64,
+        max_width: int = 256,
+        noise_strategy: str = "repeat",
+    ):
+        self.unet_apply = unet_apply
+        self.height = height
+        self.channels = channels
+        self.train_width = train_width
+        self.max_width = max_width
+        self.noise_strategy = noise_strategy
+        self.schedule = Schedule.linear(timesteps, beta_start, beta_end)
+        self.CFG = 1.0
+        self.unconditional_condition = None
+        self._loop_cache = {}
+
+    # -- configuration ------------------------------------------------------
+
+    def respace(self, use_timesteps: Optional[Sequence[int]] = None):
+        """Subset the chain (reference: DiffSynthSampler.py:204-222)."""
+        if use_timesteps is not None:
+            self.schedule = self.schedule.respace(use_timesteps)
+            self._loop_cache.clear()
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.schedule.num_timesteps
+
+    def activate_classifier_free_guidance(self, CFG: float,
+                                          unconditional_condition):
+        """(reference: DiffSynthSampler.py:192-202)"""
+        assert unconditional_condition is not None or CFG == 1.0, (
+            "For CFG != 1.0, unconditional_condition must be available"
+        )
+        self.CFG = float(CFG)
+        self.unconditional_condition = unconditional_condition
+
+    # -- noise --------------------------------------------------------------
+
+    def build_noise(self, key, batch, width, template=None):
+        return noise_lib.build_noise(
+            key, batch, self.height, width, self.channels,
+            train_width=self.train_width, max_width=self.max_width,
+            strategy=self.noise_strategy, template=template,
+        )
+
+    def q_sample(self, x_start, t, noise):
+        return q_sample(x_start, t, self.schedule, noise)
+
+    # -- the scan -----------------------------------------------------------
+
+    def _get_loop(self, batch: int, width: int, n_steps_exec: int,
+                  start_idx: int, eta: float, cfg_on: bool, inpaint: bool,
+                  mask_mode: str, return_traj: bool):
+        """Build (or fetch) the jitted scan for one static signature."""
+        sig = (batch, width, n_steps_exec, start_idx, eta, cfg_on, inpaint,
+               mask_mode, return_traj, self.CFG, self.num_timesteps)
+        if sig in self._loop_cache:
+            return self._loop_cache[sig]
+
+        sched = self.schedule
+        alphas_cumprod = jnp.asarray(sched.alphas_cumprod, jnp.float32)
+        alphas_cumprod_prev = jnp.asarray(sched.alphas_cumprod_prev, jnp.float32)
+        sqrt_ac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+        sqrt_1mac = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
+        timestep_map = jnp.asarray(sched.timestep_map, jnp.int32)
+        cfg_scale = self.CFG
+        unet_apply = self.unet_apply
+        height, channels = self.height, self.channels
+        train_width = self.train_width
+        strategy = self.noise_strategy
+        if strategy == "repeat":
+            ridx, _ = noise_lib.repeat_indices(width, train_width)
+            ridx = jnp.asarray(ridx)
+
+        def loop(params, init_img, cond, uncond, guide, init_noise,
+                 mask_profiles, static_mask, key):
+            """One fully-fused sampling run."""
+
+            def model_eval(img, mapped_t_b, _cond, _uncond):
+                if cfg_on:
+                    x_in = jnp.concatenate([img, img], axis=0)
+                    t_in = jnp.concatenate([mapped_t_b, mapped_t_b], axis=0)
+                    c_in = jnp.concatenate([_uncond, _cond], axis=0)
+                    eps = unet_apply(params, x_in, t_in, c_in)
+                    eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                    return eps_u + cfg_scale * (eps_c - eps_u)
+                return unet_apply(params, img, mapped_t_b, _cond)
+
+            def body(img, xs):
+                i, mask_w, step_key = xs
+                t_b = jnp.full((batch,), i, dtype=jnp.int32)
+                mapped_t_b = timestep_map[t_b]
+                eps = model_eval(img, mapped_t_b, cond, uncond).astype(jnp.float32)
+
+                ac_t = alphas_cumprod[i]
+                ac_prev = alphas_cumprod_prev[i]
+                pred_x0 = (img - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
+                sigma = (
+                    eta
+                    * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
+                    * jnp.sqrt(1.0 - ac_t / ac_prev)
+                )
+                dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
+                img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
+                if eta > 0.0:
+                    if strategy == "repeat":
+                        tmpl = jax.random.normal(
+                            step_key, (batch, height, train_width, channels)
+                        )
+                        step_noise = tmpl[:, :, ridx, :]
+                    else:
+                        step_noise = jax.random.normal(
+                            step_key, (batch, height, width, channels)
+                        )
+                    img = img + sigma * step_noise
+
+                if inpaint:
+                    tm1 = jnp.maximum(i - 1, 0)
+                    t_b1 = jnp.full((batch,), tm1, dtype=jnp.int32)
+                    noised_guide = (
+                        sqrt_ac[t_b1].reshape(-1, 1, 1, 1) * guide
+                        + sqrt_1mac[t_b1].reshape(-1, 1, 1, 1) * init_noise
+                    )
+                    blend_src = jnp.where(i > 0, noised_guide, guide)
+                    if mask_mode == "dynamic":
+                        m = mask_w.reshape(1, 1, width, 1)
+                    else:
+                        m = static_mask
+                    img = m * blend_src + (1.0 - m) * img
+                return img, (img if return_traj else None)
+
+            i_vals = jnp.arange(
+                start_idx - 1, start_idx - 1 - n_steps_exec, -1, dtype=jnp.int32
+            )
+            step_keys = jax.random.split(key, n_steps_exec)
+            if mask_profiles is None:
+                mask_profiles = jnp.zeros((n_steps_exec, width), jnp.float32)
+            final, traj = jax.lax.scan(
+                body, init_img, (i_vals, mask_profiles, step_keys)
+            )
+            return final, traj
+
+        jitted = jax.jit(loop)
+        self._loop_cache[sig] = jitted
+        return jitted
+
+    # -- public API ---------------------------------------------------------
+
+    def p_sample_loop(
+        self,
+        params,
+        shape: Tuple[int, int, int, int],
+        key: jax.Array,
+        initial_noise: Optional[jnp.ndarray] = None,
+        start_noise_level_ratio: float = 1.0,
+        end_noise_level_ratio: float = 0.0,
+        condition: Optional[jnp.ndarray] = None,
+        guide_img: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        sampler: str = "ddim",
+        inpaint: bool = False,
+        use_dynamic_mask: bool = False,
+        mask_flexivity: float = 0.8,
+        return_trajectory: bool = False,
+    ):
+        """Full sampling loop (reference: DiffSynthSampler.py:424-517).
+
+        shape: (B, height, width, channels) NHWC.
+        Returns (final_latent, initial_noise) or
+        (trajectory, initial_noise) when return_trajectory.
+        """
+        B, H, W, C = shape
+        assert H == self.height and C == self.channels, (shape,)
+        eta = {"ddim": 0.0, "ddpm": 1.0}[sampler]
+
+        key_init, key_steps = jax.random.split(key)
+        init_noise, concat_points = self.build_noise(
+            key_init, B, W, template=initial_noise
+        )
+        assert init_noise.shape == shape, (init_noise.shape, shape)
+
+        start_idx = int(self.num_timesteps * start_noise_level_ratio)
+        end_idx = int(self.num_timesteps * end_noise_level_ratio)
+        n_steps = start_idx - end_idx
+        assert (start_noise_level_ratio == 1.0) or (guide_img is not None), (
+            "A guide_img must be given to sample from a non-pure-noise."
+        )
+
+        if guide_img is None:
+            img0 = init_noise
+        else:
+            guide_img = self._expand_guide(guide_img, B, W)
+            if concat_points is None:
+                _, concat_points = noise_lib.repeat_indices(W, self.train_width)
+            if start_idx > 0:
+                t = jnp.full((B,), start_idx - 1, dtype=jnp.int32)
+                img0 = self.q_sample(guide_img, t, init_noise)
+            else:
+                img0 = guide_img
+
+        # Per-step masks (consumed in build order; the final i==0 step reuses
+        # the previous mask, reference: DiffSynthSampler.py:499-510).
+        mask_profiles = None
+        static_mask = None
+        mask_mode = "none"
+        if inpaint:
+            if use_dynamic_mask:
+                profs = masks_lib.dynamic_mask_profiles(
+                    n_steps, W, concat_points, self.train_width, mask_flexivity
+                )
+                if end_idx == 0 and n_steps >= 2:
+                    order = list(range(n_steps - 1)) + [n_steps - 2]
+                else:
+                    order = list(range(n_steps))
+                mask_profiles = jnp.asarray(profs[order])
+                mask_mode = "dynamic"
+            else:
+                assert mask is not None, "inpaint without dynamic mask needs a mask"
+                static_mask = jnp.asarray(mask, jnp.float32)
+                mask_mode = "static"
+
+        loop = self._get_loop(
+            B, W, n_steps, start_idx, eta, self.CFG != 1.0, inpaint,
+            mask_mode, return_trajectory,
+        )
+
+        uncond = None
+        if self.CFG != 1.0:
+            uncond = jnp.broadcast_to(
+                jnp.asarray(self.unconditional_condition).reshape(1, -1),
+                (B, jnp.asarray(self.unconditional_condition).size),
+            )
+        guide_arg = guide_img if guide_img is not None else jnp.zeros(shape)
+        smask_arg = (
+            static_mask if static_mask is not None
+            else jnp.zeros((1, 1, 1, 1), jnp.float32)
+        )
+        final, traj = loop(
+            params, img0, condition, uncond, guide_arg, init_noise,
+            mask_profiles, smask_arg, key_steps,
+        )
+        if return_trajectory:
+            return traj, init_noise
+        return final, init_noise
+
+    def _expand_guide(self, guide: jnp.ndarray, batch: int, width: int):
+        """Tile a train-width guide latent to the target width with the
+        repeat index map (the reference runs its repeat builder on the guide,
+        DiffSynthSampler.py:471)."""
+        if guide.shape[0] == 1 and batch > 1:
+            guide = jnp.broadcast_to(guide, (batch,) + guide.shape[1:])
+        gw = guide.shape[2]
+        if gw == width:
+            return guide
+        assert gw == self.train_width, (
+            f"guide width {gw} must equal target width {width} or "
+            f"train_width {self.train_width}"
+        )
+        idx, _ = noise_lib.repeat_indices(width, self.train_width)
+        return guide[:, :, jnp.asarray(idx), :]
+
+    def sample(self, params, shape, key, condition=None, sampler="ddim",
+               initial_noise=None, return_trajectory=False):
+        """Pure generation from noise (reference: DiffSynthSampler.py:520-536)."""
+        return self.p_sample_loop(
+            params, shape, key, initial_noise=initial_noise,
+            start_noise_level_ratio=1.0, end_noise_level_ratio=0.0,
+            condition=condition, sampler=sampler,
+            return_trajectory=return_trajectory,
+        )
+
+    def img_guided_sample(self, params, shape, key, noising_strength,
+                          guide_img, condition=None, sampler="ddim",
+                          initial_noise=None, return_trajectory=False):
+        """Style transfer / img2img (reference: DiffSynthSampler.py:562-583)."""
+        return self.p_sample_loop(
+            params, shape, key, initial_noise=initial_noise,
+            start_noise_level_ratio=noising_strength,
+            end_noise_level_ratio=0.0, condition=condition,
+            guide_img=guide_img, sampler=sampler,
+            return_trajectory=return_trajectory,
+        )
+
+    def inpaint_sample(self, params, shape, key, noising_strength, guide_img,
+                       mask=None, condition=None, sampler="ddim",
+                       initial_noise=None, use_dynamic_mask=False,
+                       end_noise_level_ratio=0.0, mask_flexivity=0.8,
+                       return_trajectory=False):
+        """Masked resampling (reference: DiffSynthSampler.py:585-611).
+
+        mask: (B or 1, H, W, 1), 1.0 = keep guide. Ignored with
+        use_dynamic_mask.
+        """
+        return self.p_sample_loop(
+            params, shape, key, initial_noise=initial_noise,
+            start_noise_level_ratio=noising_strength,
+            end_noise_level_ratio=end_noise_level_ratio,
+            condition=condition, guide_img=guide_img, mask=mask,
+            sampler=sampler, inpaint=True,
+            use_dynamic_mask=use_dynamic_mask, mask_flexivity=mask_flexivity,
+            return_trajectory=return_trajectory,
+        )
+
+    def interpolate(self, params, shape, key, variance=1.0,
+                    first_endpoint=None, second_endpoint=None, condition=None,
+                    sampler="ddim", return_trajectory=False):
+        """Generation from a linearly interpolated noise batch
+        (reference: DiffSynthSampler.py:538-560)."""
+        linear_noise = noise_lib.linear_interpolation_noise(
+            key, shape, variance, first_endpoint, second_endpoint,
+            train_width=self.train_width,
+        )
+        return self._sample_with_noise(
+            params, shape, key, linear_noise, condition, sampler,
+            return_trajectory,
+        )
+
+    def _sample_with_noise(self, params, shape, key, noise, condition,
+                           sampler, return_trajectory):
+        """sample() but with a fully specified initial noise tensor."""
+        B, H, W, C = shape
+        eta = {"ddim": 0.0, "ddpm": 1.0}[sampler]
+        n_steps = self.num_timesteps
+        loop = self._get_loop(B, W, n_steps, n_steps, eta, self.CFG != 1.0,
+                              False, "none", return_trajectory)
+        uncond = None
+        if self.CFG != 1.0:
+            uncond = jnp.broadcast_to(
+                jnp.asarray(self.unconditional_condition).reshape(1, -1),
+                (B, jnp.asarray(self.unconditional_condition).size),
+            )
+        final, traj = loop(params, noise, condition, uncond,
+                           jnp.zeros(shape), noise, None,
+                           jnp.zeros((1, 1, 1, 1), jnp.float32), key)
+        if return_trajectory:
+            return traj, noise
+        return final, noise
