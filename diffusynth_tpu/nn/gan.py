@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from diffusynth_tpu.nn.layers import Conv
+from diffusynth_tpu.nn.layers import conv2d
 
 Dtype = Any
 
@@ -29,7 +29,7 @@ class GANDiscriminator(nn.Module):
     def __call__(self, x, text_emb, train: bool = False):
         """x: (B, H, W, 4) latent; text_emb: (B, label_emb_dim)."""
         for i, feats in enumerate((64, 128, 256, 512)):
-            x = Conv(feats, 4, stride=2, padding=1, dtype=self.dtype)(x)
+            x = conv2d(feats, 4, stride=2, padding=1, dtype=self.dtype)(x)
             if i > 0:
                 x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)

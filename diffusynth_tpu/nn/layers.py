@@ -2,8 +2,13 @@
 
 TPU-native re-designs of the reference's torch layers
 (reference: model/VQGAN.py:12-272, model/diffusion_components.py:22-293):
-identical math, channels-last layout, explicit torch-compatible padding so a
-weight converter can reach exact numerical parity.
+identical math, channels-last layout, explicit torch-compatible padding.
+
+Submodules carry EXPLICIT names mirroring the reference's state_dict keys
+(norm1/conv1/nin_shortcut, to_qkv/to_out, mlp_1/ds_conv/net_1/..., etc.) so
+the torch->flax weight converter (diffusynth_tpu/compat) is a mechanical key
+translation - the path to exact numerical parity with pretrained reference
+checkpoints.
 """
 
 from __future__ import annotations
@@ -30,79 +35,47 @@ def nonlinearity(x, act_type: str = "relu"):
     return swish(x)
 
 
-class GroupNorm(nn.Module):
-    """GroupNorm over the channel (last) axis, torch-compatible eps."""
-
-    num_groups: int = 32
-    epsilon: float = 1e-6
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, dtype=self.dtype
-        )(x)
+def group_norm(num_groups: int = 32, epsilon: float = 1e-6, dtype=None,
+               name: Optional[str] = None) -> nn.GroupNorm:
+    """GroupNorm over the channel (last) axis, torch-compatible eps
+    (reference Normalize: VQGAN.py:12-17; batchnorm is deliberately
+    unsupported - stateless under pjit, unused by shipped configs)."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon, dtype=dtype,
+                        name=name)
 
 
-def Normalize(num_groups: int = 32, norm_type: str = "groupnorm", dtype=None):
-    """Normalization factory (reference: VQGAN.py:12-17).
-
-    batchnorm is intentionally not supported: it carries running statistics
-    that complicate pjit and is never used by the shipped configs.
-    """
-    if norm_type != "groupnorm":
-        raise NotImplementedError(f"norm_type={norm_type}")
-    return GroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=dtype)
-
-
-class Conv(nn.Module):
+def conv2d(features: int, kernel_size: int, stride: int = 1, padding: int = 0,
+           use_bias: bool = True, feature_group_count: int = 1, dtype=None,
+           name: Optional[str] = None) -> nn.Conv:
     """2D conv with explicit torch-style symmetric padding, NHWC."""
-
-    features: int
-    kernel_size: int
-    stride: int = 1
-    padding: int = 0
-    use_bias: bool = True
-    feature_group_count: int = 1
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            use_bias=self.use_bias,
-            feature_group_count=self.feature_group_count,
-            dtype=self.dtype,
-        )(x)
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=use_bias,
+        feature_group_count=feature_group_count,
+        dtype=dtype,
+        name=name,
+    )
 
 
-class ConvTranspose(nn.Module):
-    """2D transposed conv, torch ConvTranspose2d(k=4, s=2, p=1) geometry:
-    output spatial size is exactly 2x the input."""
-
-    features: int
-    kernel_size: int = 4
-    stride: int = 2
-    padding: int = 1
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        # flax explicit padding pads the stride-dilated input, so torch's
-        # ConvTranspose2d padding p maps to k - p - 1 per side
-        # (out = (in-1)*s - 2p + k in torch terms).
-        p = self.kernel_size - self.padding - 1
-        return nn.ConvTranspose(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            transpose_kernel=True,  # torch-compatible kernel orientation
-            dtype=self.dtype,
-        )(x)
+def conv_transpose2d(features: int, kernel_size: int = 4, stride: int = 2,
+                     padding: int = 1, dtype=None,
+                     name: Optional[str] = None) -> nn.ConvTranspose:
+    """Transposed conv with torch ConvTranspose2d geometry: flax explicit
+    padding pads the stride-dilated input, so torch's p maps to k - p - 1
+    per side (out = (in-1)*s - 2p + k in torch terms)."""
+    p = kernel_size - padding - 1
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((p, p), (p, p)),
+        transpose_kernel=True,  # torch-compatible kernel orientation
+        dtype=dtype,
+        name=name,
+    )
 
 
 class DownSample(nn.Module):
@@ -113,7 +86,8 @@ class DownSample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return Conv(self.features, 4, stride=2, padding=1, dtype=self.dtype)(x)
+        return conv2d(self.features, 4, stride=2, padding=1,
+                      dtype=self.dtype, name="_conv2d")(x)
 
 
 class UpSample(nn.Module):
@@ -124,7 +98,8 @@ class UpSample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return ConvTranspose(self.features, 4, 2, 1, dtype=self.dtype)(x)
+        return conv_transpose2d(self.features, 4, 2, 1, dtype=self.dtype,
+                                name="_conv2d")(x)
 
 
 class VQGANResnetBlock(nn.Module):
@@ -145,27 +120,32 @@ class VQGANResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, deterministic: bool = True):
         in_channels = x.shape[-1]
-        h = Normalize(self.num_groups, dtype=self.dtype)(x)
+        h = group_norm(self.num_groups, dtype=self.dtype, name="norm1")(x)
         h = nonlinearity(h, self.act_type)
-        h = Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(h)
+        h = conv2d(self.out_channels, 3, padding=1, dtype=self.dtype,
+                   name="conv1")(h)
 
         if temb is not None:
-            temb_h = nn.Dense(self.out_channels, dtype=self.dtype)(
+            temb_h = nn.Dense(self.out_channels, dtype=self.dtype,
+                              name="temb_proj")(
                 nonlinearity(temb, self.act_type)
             )
             h = h + temb_h[:, None, None, :]
 
         if self.double_conv:
-            h = Normalize(self.num_groups, dtype=self.dtype)(h)
+            h = group_norm(self.num_groups, dtype=self.dtype, name="norm2")(h)
             h = nonlinearity(h, self.act_type)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(h)
+            h = conv2d(self.out_channels, 3, padding=1, dtype=self.dtype,
+                       name="conv2")(h)
 
         if in_channels != self.out_channels:
             if self.conv_shortcut:
-                x = Conv(self.out_channels, 3, padding=1, dtype=self.dtype)(x)
+                x = conv2d(self.out_channels, 3, padding=1, dtype=self.dtype,
+                           name="conv_shortcut")(x)
             else:
-                x = Conv(self.out_channels, 1, dtype=self.dtype)(x)
+                x = conv2d(self.out_channels, 1, dtype=self.dtype,
+                           name="nin_shortcut")(x)
         return x + h
 
 
@@ -185,7 +165,8 @@ class LinearAttention(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+        qkv = conv2d(hidden * 3, 1, use_bias=False, dtype=self.dtype,
+                     name="to_qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -193,9 +174,9 @@ class LinearAttention(nn.Module):
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(B, H, W, hidden)
-        out = Conv(C, 1, dtype=self.dtype)(out)
+        out = conv2d(C, 1, dtype=self.dtype, name="to_out")(out)
         if self.with_skip:
-            out = out + Conv(C, 1, dtype=self.dtype)(x)
+            out = out + conv2d(C, 1, dtype=self.dtype, name="nin_shortcut")(x)
         return out
 
 
@@ -222,8 +203,9 @@ class UNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = Conv(self.dim_out, 3, padding=1, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        x = conv2d(self.dim_out, 3, padding=1, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -240,19 +222,26 @@ class UNetResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb=None):
-        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype)(x)
+        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype,
+                      name="block1")(x)
         if time_emb is not None:
-            t = nn.Dense(self.dim_out, dtype=self.dtype)(jax.nn.silu(time_emb))
+            t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_1")(
+                jax.nn.silu(time_emb))
             h = h + t[:, None, None, :]
-        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype)(h)
+        h = UNetBlock(self.dim_out, self.groups, dtype=self.dtype,
+                      name="block2")(h)
         if x.shape[-1] != self.dim_out:
-            x = Conv(self.dim_out, 1, dtype=self.dtype)(x)
+            x = conv2d(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
 class ConvNextBlock(nn.Module):
     """Depthwise 7x7 (+ time emb) -> GN -> conv3x3 -> GELU -> GN -> conv3x3
-    + 1x1 residual (reference: diffusion_components.py:107-139)."""
+    + 1x1 residual (reference: diffusion_components.py:107-139).
+
+    Names mirror the torch Sequential indices: net_0/net_3 are the
+    GroupNorms, net_1/net_4 the convs, mlp_1 the time Linear.
+    """
 
     dim_out: int
     mult: int = 2
@@ -262,21 +251,27 @@ class ConvNextBlock(nn.Module):
     @nn.compact
     def __call__(self, x, time_emb=None):
         dim = x.shape[-1]
-        h = Conv(dim, 7, padding=3, feature_group_count=dim, dtype=self.dtype)(x)
+        h = conv2d(dim, 7, padding=3, feature_group_count=dim,
+                   dtype=self.dtype, name="ds_conv")(x)
 
         if time_emb is not None:
-            t = nn.Dense(dim, dtype=self.dtype)(jax.nn.gelu(time_emb))
+            t = nn.Dense(dim, dtype=self.dtype, name="mlp_1")(
+                jax.nn.gelu(time_emb))
             h = h + t[:, None, None, :]
 
         if self.norm:
-            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(h)
-        h = Conv(self.dim_out * self.mult, 3, padding=1, dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                             name="net_0")(h)
+        h = conv2d(self.dim_out * self.mult, 3, padding=1, dtype=self.dtype,
+                   name="net_1")(h)
         h = jax.nn.gelu(h)
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(h)
-        h = Conv(self.dim_out, 3, padding=1, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                         name="net_3")(h)
+        h = conv2d(self.dim_out, 3, padding=1, dtype=self.dtype,
+                   name="net_4")(h)
 
         if dim != self.dim_out:
-            x = Conv(self.dim_out, 1, dtype=self.dtype)(x)
+            x = conv2d(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -294,14 +289,17 @@ class LinearCrossAttention(nn.Module):
         hidden = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
 
-        qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+        qkv = conv2d(hidden * 3, 1, use_bias=False, dtype=self.dtype,
+                     name="to_qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if condition is not None:
             # One extra key/value token from the label embedding.
-            label_k = nn.Dense(hidden, dtype=self.dtype)(condition)
-            label_v = nn.Dense(hidden, dtype=self.dtype)(condition)
+            label_k = nn.Dense(hidden, dtype=self.dtype,
+                               name="label_key")(condition)
+            label_v = nn.Dense(hidden, dtype=self.dtype,
+                               name="label_value")(condition)
             label_k = label_k.reshape(B, 1, self.heads, self.dim_head)
             label_v = label_v.reshape(B, 1, self.heads, self.dim_head)
             k = jnp.concatenate([k, label_k], axis=1)
@@ -312,8 +310,9 @@ class LinearCrossAttention(nn.Module):
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(B, H, W, hidden)
-        out = Conv(C, 1, dtype=self.dtype)(out)
-        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(out)
+        out = conv2d(C, 1, dtype=self.dtype, name="to_out_0")(out)
+        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                            name="to_out_1")(out)
 
 
 class LinearCrossAttentionAdd(nn.Module):
@@ -331,13 +330,16 @@ class LinearCrossAttentionAdd(nn.Module):
         hidden = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
 
-        qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+        qkv = conv2d(hidden * 3, 1, use_bias=False, dtype=self.dtype,
+                     name="to_qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if condition is not None:
-            label_k = nn.Dense(hidden, dtype=self.dtype)(condition)
-            label_q = nn.Dense(hidden, dtype=self.dtype)(condition)
+            label_k = nn.Dense(hidden, dtype=self.dtype,
+                               name="label_key")(condition)
+            label_q = nn.Dense(hidden, dtype=self.dtype,
+                               name="label_query")(condition)
             k = k + label_k.reshape(B, 1, self.heads, self.dim_head)
             q = q + label_q.reshape(B, 1, self.heads, self.dim_head)
 
@@ -346,21 +348,9 @@ class LinearCrossAttentionAdd(nn.Module):
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(B, H, W, hidden)
-        out = Conv(C, 1, dtype=self.dtype)(out)
-        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(out)
-
-
-class PreNormAttention(nn.Module):
-    """Residual(PreNorm(attn)) wrapper (reference:
-    diffusion_components.py:22-29,142-152)."""
-
-    attn: Callable
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x, condition=None):
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(x)
-        return self.attn(h, condition) + x
+        out = conv2d(C, 1, dtype=self.dtype, name="to_out_0")(out)
+        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                            name="to_out_1")(out)
 
 
 def pad_to_match(encoder_tensor, decoder_tensor):

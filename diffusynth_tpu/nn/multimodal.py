@@ -31,12 +31,12 @@ class ProjectionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        projected = nn.Dense(self.output_dim, dtype=self.dtype)(x)
+        projected = nn.Dense(self.output_dim, dtype=self.dtype, name="projection")(x)
         h = jax.nn.gelu(projected)
-        h = nn.Dense(self.output_dim, dtype=self.dtype)(h)
+        h = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = h + projected
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(h)
 
 
 class ProjectionHead(nn.Module):
@@ -49,9 +49,9 @@ class ProjectionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        for _ in range(self.num_layers):
+        for i in range(self.num_layers):
             x = ProjectionLayer(self.projection_dim, self.dropout,
-                                dtype=self.dtype)(x, deterministic)
+                                dtype=self.dtype, name=f"layers_{i}")(x, deterministic)
         return x
 
 

@@ -40,20 +40,21 @@ class TimbreEncoder(nn.Module):
 
         h = nn.Dense(cfg.feature_dim, dtype=self.dtype, name="input_layer")(seq)
         for i in range(cfg.num_layers):
-            h = nn.RNN(
-                nn.OptimizedLSTMCell(cfg.hidden_dim, dtype=self.dtype),
-                name=f"lstm_{i}",
-            )(h)
+            # Name the CELL (params land under "lstm_{i}"); naming the RNN
+            # wrapper leaves later cells bound at this module's scope.
+            cell = nn.OptimizedLSTMCell(cfg.hidden_dim, dtype=self.dtype,
+                                        name=f"lstm_{i}")
+            h = nn.RNN(cell)(h)
         feature = h[:, -1, :]  # last time step (reference: :72)
 
         instrument = nn.Dense(cfg.num_instrument_classes, dtype=self.dtype,
-                              name="instrument_head")(feature)
+                              name="instrument_classifier_layer")(feature)
         family = nn.Dense(cfg.num_instrument_family_classes, dtype=self.dtype,
-                          name="family_head")(feature)
+                          name="instrument_family_classifier_layer")(feature)
         velocity = nn.Dense(cfg.num_velocity_classes, dtype=self.dtype,
-                            name="velocity_head")(feature)
+                            name="velocity_classifier_layer")(feature)
         qualities = nn.Dense(cfg.num_qualities, dtype=self.dtype,
-                             name="qualities_head")(feature)
+                             name="qualities_classifier_layer")(feature)
 
         return (
             feature,

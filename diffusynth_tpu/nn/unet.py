@@ -4,6 +4,11 @@ TPU re-design of reference: model/diffusion.py:21-258. Same topology:
 ConvNeXt blocks, linear cross-attention with the text embedding injected at
 every attention (k/q add or k/v concat), triple skip-concats per up stage,
 extra bottleneck skips (mid_depth), sinusoidal time embedding + MLP.
+
+Module names mirror the reference state_dict positions (downs_{i}_{j},
+mid_left_{i}, mid_mid_{j}, mid_right_{i}, ups_{i}_{j}, final_conv_{j},
+time_mlp_{j}, label_embedding) so the weight converter is a mechanical key
+translation.
 """
 
 from __future__ import annotations
@@ -16,13 +21,13 @@ import jax.numpy as jnp
 
 from diffusynth_tpu.configs import UNetConfig
 from diffusynth_tpu.nn.layers import (
-    Conv,
     ConvNextBlock,
-    ConvTranspose,
     LinearCrossAttention,
     LinearCrossAttentionAdd,
     SinusoidalPositionEmbeddings,
     UNetResnetBlock,
+    conv2d,
+    conv_transpose2d,
     pad_and_concat,
 )
 
@@ -31,18 +36,20 @@ Dtype = Any
 
 class _Attn(nn.Module):
     """Residual(PreNorm(linear cross-attention)) as used at every U-Net
-    attention site (reference: diffusion.py:122,124,143,158,163,167)."""
+    attention site (reference: diffusion.py:122,124,143,158,163,167).
+    Inner names: "norm" (PreNorm GN) and "fn" (the attention)."""
 
     attn_type: str
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, condition=None):
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
+                         name="norm")(x)
         if self.attn_type == "linear_cat":
-            h = LinearCrossAttention(dtype=self.dtype)(h, condition)
+            h = LinearCrossAttention(dtype=self.dtype, name="fn")(h, condition)
         elif self.attn_type == "linear_add":
-            h = LinearCrossAttentionAdd(dtype=self.dtype)(h, condition)
+            h = LinearCrossAttentionAdd(dtype=self.dtype, name="fn")(h, condition)
         else:
             raise NotImplementedError(self.attn_type)
         return h + x
@@ -55,14 +62,15 @@ class ConditionedUnet(nn.Module):
     config: UNetConfig
     dtype: Optional[Dtype] = None
 
-    def _block(self, dim_out, name=None):
+    def _block(self, dim_out, name):
         cfg = self.config
         if cfg.use_convnext:
             return ConvNextBlock(
                 dim_out, mult=cfg.convnext_mult, dtype=self.dtype, name=name
             )
         return UNetResnetBlock(
-            dim_out, groups=cfg.resnet_block_groups, dtype=self.dtype, name=name
+            dim_out, groups=cfg.resnet_block_groups, dtype=self.dtype,
+            name=name,
         )
 
     @nn.compact
@@ -96,58 +104,68 @@ class ConditionedUnet(nn.Module):
         # Time embedding MLP (reference: diffusion.py:99-105).
         if cfg.with_time_emb:
             t = SinusoidalPositionEmbeddings(down_dims[0])(time)
-            t = nn.Dense(time_dim, dtype=self.dtype)(t)
+            t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_1")(t)
             t = jax.nn.gelu(t)
-            time_emb = nn.Dense(time_dim, dtype=self.dtype)(t)
+            time_emb = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_3")(t)
         else:
             time_emb = None
 
         h = []
-        x = Conv(down_dims[0], 7, padding=3, dtype=self.dtype)(x)
+        x = conv2d(down_dims[0], 7, padding=3, dtype=self.dtype,
+                   name="init_conv")(x)
         h.append(x)
 
         # Encoder path (reference: diffusion.py:215-223).
         down_in_out = list(zip(down_dims[:-1], down_dims[1:]))
-        for _, dim_out in down_in_out:
-            x = self._block(dim_out)(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
+        for i, (_, dim_out) in enumerate(down_in_out):
+            x = self._block(dim_out, f"downs_{i}_0")(x, time_emb)
+            x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      name=f"downs_{i}_1")(x, condition_emb)
             h.append(x)
-            x = self._block(dim_out)(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
+            x = self._block(dim_out, f"downs_{i}_2")(x, time_emb)
+            x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      name=f"downs_{i}_3")(x, condition_emb)
             h.append(x)
-            x = Conv(dim_out, 4, stride=2, padding=1, dtype=self.dtype)(x)
+            x = conv2d(dim_out, 4, stride=2, padding=1, dtype=self.dtype,
+                       name=f"downs_{i}_4")(x)
             h.append(x)
 
         # Bottleneck (reference: diffusion.py:131-146, 226-238).
         mid_dim = down_dims[-1]
-        for _ in range(cfg.mid_depth - 1):
-            x = self._block(mid_dim)(x, time_emb)
+        for i in range(cfg.mid_depth - 1):
+            x = self._block(mid_dim, f"mid_left_{i}")(x, time_emb)
             h.append(x)
-        x = self._block(mid_dim)(x, time_emb)
-        x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
-        x = self._block(mid_dim)(x, time_emb)
-        for _ in range(cfg.mid_depth - 1):
+        x = self._block(mid_dim, "mid_mid_0")(x, time_emb)
+        x = _Attn(cfg.attn_type, dtype=self.dtype,
+                  name="mid_mid_1")(x, condition_emb)
+        x = self._block(mid_dim, "mid_mid_2")(x, time_emb)
+        for i in range(cfg.mid_depth - 1):
             x = pad_and_concat(h.pop(), x)
-            x = self._block(mid_dim)(x, time_emb)
+            x = self._block(mid_dim, f"mid_right_{i}")(x, time_emb)
 
         # Decoder path (reference: diffusion.py:241-253).
         up_in_out = list(zip(up_dims[:-1], up_dims[1:]))
-        for up_dim_in, up_dim_out in up_in_out:
+        for i, (up_dim_in, up_dim_out) in enumerate(up_in_out):
             x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_in)(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
-            x = ConvTranspose(up_dim_in, 4, 2, 1, dtype=self.dtype)(x)
+            x = self._block(up_dim_in, f"ups_{i}_0")(x, time_emb)
+            x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      name=f"ups_{i}_1")(x, condition_emb)
+            x = conv_transpose2d(up_dim_in, 4, 2, 1, dtype=self.dtype,
+                                 name=f"ups_{i}_2")(x)
 
             x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_out)(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
+            x = self._block(up_dim_out, f"ups_{i}_3")(x, time_emb)
+            x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      name=f"ups_{i}_4")(x, condition_emb)
 
             x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_out)(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype)(x, condition_emb)
+            x = self._block(up_dim_out, f"ups_{i}_5")(x, time_emb)
+            x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      name=f"ups_{i}_6")(x, condition_emb)
 
         # Final skip + head (reference: diffusion.py:173-175, 256-257).
         x = pad_and_concat(h.pop(), x)
         assert not h, "skip-connection stack should be empty"
-        x = self._block(up_dims[-1])(x)
-        return Conv(out_dim, 3, padding=1, dtype=self.dtype)(x)
+        x = self._block(up_dims[-1], "final_conv_0")(x)
+        return conv2d(out_dim, 3, padding=1, dtype=self.dtype,
+                      name="final_conv_1")(x)

@@ -66,7 +66,7 @@ class VectorQuantizer(nn.Module):
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False):
         codebook = self.param(
-            "embedding",
+            "_embedding",
             lambda key: jax.random.uniform(
                 key,
                 (self.num_embeddings, self.embedding_dim),
@@ -111,15 +111,15 @@ class VectorQuantizerEMA(nn.Module):
     def __call__(self, z: jnp.ndarray, train: bool = False):
         init = nn.initializers.normal(stddev=1.0)
         embedding = self.variable(
-            "vq", "embedding", init, self.make_rng("params") if self.is_initializing() else None,
+            "vq", "_embedding", init, self.make_rng("params") if self.is_initializing() else None,
             (self.num_embeddings, self.embedding_dim),
         )
         cluster_size = self.variable(
-            "vq", "cluster_size", lambda *_: jnp.zeros(self.num_embeddings),
+            "vq", "_ema_cluster_size", lambda *_: jnp.zeros(self.num_embeddings),
             None, None,
         )
         ema_w = self.variable(
-            "vq", "ema_w", init, self.make_rng("params") if self.is_initializing() else None,
+            "vq", "_ema_w", init, self.make_rng("params") if self.is_initializing() else None,
             (self.num_embeddings, self.embedding_dim),
         )
 

@@ -5,6 +5,11 @@ TPU re-design of reference: model/VQGAN.py:275-458. Same topology and math
 configured channel widths, softplus/tanh STFT+ output head), NHWC layout,
 configurable compute dtype for MXU-friendly bfloat16 convs.
 
+Module names mirror the reference state_dict: submodules of the encoder/
+decoder are "_layers_{i}" with the SAME index assignment as the reference's
+nn.ModuleList (parameterless ReLU entries consume an index), so the weight
+converter is a mechanical key translation.
+
 Reference quirk preserved deliberately (SURVEY.md section 7): the reference
 constructs its Encoder with the literal string act_type="act_type"
 (VQGAN.py:441), which always selects the swish branch; with the shipped
@@ -22,12 +27,12 @@ import jax.numpy as jnp
 
 from diffusynth_tpu.configs import VQGANConfig
 from diffusynth_tpu.nn.layers import (
-    Conv,
     DownSample,
     LinearAttention,
-    Normalize,
     UpSample,
     VQGANResnetBlock,
+    conv2d,
+    group_norm,
 )
 from diffusynth_tpu.nn.vq import VectorQuantizer, VectorQuantizerEMA
 
@@ -51,35 +56,47 @@ class VQGANEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         hc = list(self.hidden_channels)
-        x = DownSample(hc[0], dtype=self.dtype)(x)
+        idx = 0  # mirrors the reference ModuleList index
+
+        def nm():
+            nonlocal idx
+            name = f"_layers_{idx}"
+            idx += 1
+            return name
+
+        x = DownSample(hc[0], dtype=self.dtype, name=nm())(x)
         current = hc[0]
 
         for i in range(1, len(hc)):
             for _ in range(self.block_depth - 1):
                 x = VQGANResnetBlock(
                     current, act_type=self.act_type,
-                    num_groups=self.num_groups, dtype=self.dtype,
+                    num_groups=self.num_groups, dtype=self.dtype, name=nm(),
                 )(x)
                 if current in self.attn_pos:
                     x = LinearAttention(
-                        1, 32, self.attn_with_skip, dtype=self.dtype
+                        1, 32, self.attn_with_skip, dtype=self.dtype,
+                        name=nm(),
                     )(x)
-            x = Normalize(self.num_groups, dtype=self.dtype)(x)
+            x = group_norm(self.num_groups, dtype=self.dtype, name=nm())(x)
+            nm()  # the reference appends a parameterless nn.ReLU here
             x = jax.nn.relu(x)
-            x = DownSample(hc[i], dtype=self.dtype)(x)
+            x = DownSample(hc[i], dtype=self.dtype, name=nm())(x)
             current = hc[i]
 
         for _ in range(self.block_depth - 1):
             x = VQGANResnetBlock(
                 current, act_type=self.act_type,
-                num_groups=self.num_groups, dtype=self.dtype,
+                num_groups=self.num_groups, dtype=self.dtype, name=nm(),
             )(x)
             if current in self.attn_pos:
-                x = LinearAttention(1, 32, self.attn_with_skip, dtype=self.dtype)(x)
+                x = LinearAttention(1, 32, self.attn_with_skip,
+                                    dtype=self.dtype, name=nm())(x)
 
-        x = Normalize(self.num_groups, dtype=self.dtype)(x)
+        x = group_norm(self.num_groups, dtype=self.dtype, name=nm())(x)
+        nm()  # parameterless ReLU index
         x = jax.nn.relu(x)
-        return Conv(self.embedding_dim, 1, dtype=self.dtype)(x)
+        return conv2d(self.embedding_dim, 1, dtype=self.dtype, name=nm())(x)
 
 
 class VQGANDecoder(nn.Module):
@@ -98,38 +115,50 @@ class VQGANDecoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         rhc = list(reversed(self.hidden_channels))
-        x = Conv(rhc[0], 1, use_bias=False, dtype=self.dtype)(x)
+        idx = 0
+
+        def nm():
+            nonlocal idx
+            name = f"_layers_{idx}"
+            idx += 1
+            return name
+
+        x = conv2d(rhc[0], 1, use_bias=False, dtype=self.dtype, name=nm())(x)
         current = rhc[0]
 
         for _ in range(self.block_depth - 1):
             if current in self.attn_pos:
-                x = LinearAttention(1, 32, self.attn_with_skip, dtype=self.dtype)(x)
+                x = LinearAttention(1, 32, self.attn_with_skip,
+                                    dtype=self.dtype, name=nm())(x)
             x = VQGANResnetBlock(
                 current, act_type=self.act_type,
-                num_groups=self.num_groups, dtype=self.dtype,
+                num_groups=self.num_groups, dtype=self.dtype, name=nm(),
             )(x)
 
         for i in range(1, len(rhc)):
-            x = Normalize(self.num_groups, dtype=self.dtype)(x)
+            x = group_norm(self.num_groups, dtype=self.dtype, name=nm())(x)
+            nm()  # parameterless ReLU index
             x = jax.nn.relu(x)
-            x = UpSample(rhc[i], dtype=self.dtype)(x)
+            x = UpSample(rhc[i], dtype=self.dtype, name=nm())(x)
             current = rhc[i]
             for _ in range(self.block_depth - 1):
                 if current in self.attn_pos:
                     x = LinearAttention(
-                        1, 32, self.attn_with_skip, dtype=self.dtype
+                        1, 32, self.attn_with_skip, dtype=self.dtype,
+                        name=nm(),
                     )(x)
                 x = VQGANResnetBlock(
                     current, act_type=self.act_type,
-                    num_groups=self.num_groups, dtype=self.dtype,
+                    num_groups=self.num_groups, dtype=self.dtype, name=nm(),
                 )(x)
 
-        x = Normalize(self.num_groups, dtype=self.dtype)(x)
+        x = group_norm(self.num_groups, dtype=self.dtype, name=nm())(x)
+        nm()  # parameterless ReLU index
         x = jax.nn.relu(x)
-        x = UpSample(current, dtype=self.dtype)(x)
+        x = UpSample(current, dtype=self.dtype, name=nm())(x)
         x = VQGANResnetBlock(
             self.out_channels, act_type=self.act_type,
-            num_groups=self.num_groups, dtype=self.dtype,
+            num_groups=self.num_groups, dtype=self.dtype, name=nm(),
         )(x)
 
         # STFT+ value-range head (reference: VQGAN.py:394-398).
@@ -145,7 +174,8 @@ class VQGAN(nn.Module):
     apply() returns (vq_loss, x_recon, aux) with aux carrying perplexity and
     code indices. Sub-modules are reachable via the encode/decode/quantize
     methods for the split-model inference paths (reference splits the VAE at
-    gradio_webUI.py:38).
+    gradio_webUI.py:38). Attribute names (_encoder/_vq_vae/_decoder) mirror
+    the reference state_dict prefixes.
     """
 
     config: VQGANConfig
@@ -153,7 +183,7 @@ class VQGAN(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.encoder = VQGANEncoder(
+        self._encoder = VQGANEncoder(
             hidden_channels=cfg.hidden_channels,
             embedding_dim=cfg.embedding_dim,
             block_depth=cfg.block_depth,
@@ -164,7 +194,7 @@ class VQGAN(nn.Module):
             dtype=self.dtype,
         )
         if cfg.decay > 0.0:
-            self.quantizer = VectorQuantizerEMA(
+            self._vq_vae = VectorQuantizerEMA(
                 num_embeddings=cfg.num_embeddings,
                 embedding_dim=cfg.embedding_dim,
                 commitment_cost=cfg.commitment_cost,
@@ -172,12 +202,12 @@ class VQGAN(nn.Module):
                 epsilon=cfg.epsilon,
             )
         else:
-            self.quantizer = VectorQuantizer(
+            self._vq_vae = VectorQuantizer(
                 num_embeddings=cfg.num_embeddings,
                 embedding_dim=cfg.embedding_dim,
                 commitment_cost=cfg.commitment_cost,
             )
-        self.decoder = VQGANDecoder(
+        self._decoder = VQGANDecoder(
             hidden_channels=cfg.hidden_channels,
             out_channels=cfg.out_channels,
             block_depth=cfg.block_depth,
@@ -189,19 +219,19 @@ class VQGAN(nn.Module):
         )
 
     def __call__(self, x, train: bool = False):
-        z = self.encoder(x)
-        quantized, vq_loss, aux = self.quantizer(z, train=train)
-        x_recon = self.decoder(quantized)
+        z = self._encoder(x)
+        quantized, vq_loss, aux = self._vq_vae(z, train=train)
+        x_recon = self._decoder(quantized)
         return vq_loss, x_recon, aux
 
     def encode(self, x):
-        return self.encoder(x)
+        return self._encoder(x)
 
     def quantize(self, z, train: bool = False):
-        return self.quantizer(z, train=train)
+        return self._vq_vae(z, train=train)
 
     def decode(self, z):
-        return self.decoder(z)
+        return self._decoder(z)
 
 
 class _ResNetBlock(nn.Module):
@@ -214,15 +244,16 @@ class _ResNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = Conv(self.features, 3, stride=self.stride, padding=1,
-                 use_bias=False, dtype=self.dtype)(x)
+        y = conv2d(self.features, 3, stride=self.stride, padding=1,
+                   use_bias=False, dtype=self.dtype)(x)
         y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(y)
         y = jax.nn.relu(y)
-        y = Conv(self.features, 3, padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = conv2d(self.features, 3, padding=1, use_bias=False,
+                   dtype=self.dtype)(y)
         y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(y)
         if residual.shape[-1] != self.features or self.stride != 1:
-            residual = Conv(self.features, 1, stride=self.stride,
-                            use_bias=False, dtype=self.dtype)(residual)
+            residual = conv2d(self.features, 1, stride=self.stride,
+                              use_bias=False, dtype=self.dtype)(residual)
             residual = nn.GroupNorm(
                 num_groups=32, epsilon=1e-5, dtype=self.dtype
             )(residual)
@@ -230,7 +261,7 @@ class _ResNetBlock(nn.Module):
 
 
 class VQGANDiscriminator(nn.Module):
-    """ResNet-18-topology discriminator with a sigmoid-free binary head.
+    """ResNet-18-topology discriminator with a logit binary head.
 
     Replaces the reference's pretrained torchvision ResNet-18
     (reference: VQGAN.py:403-429): trained from scratch (no ImageNet init on
@@ -244,7 +275,8 @@ class VQGANDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(64, 7, stride=2, padding=3, use_bias=False, dtype=self.dtype)(x)
+        x = conv2d(64, 7, stride=2, padding=3, use_bias=False,
+                   dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

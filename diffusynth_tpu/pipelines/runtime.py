@@ -1,0 +1,166 @@
+"""DiffuSynthRuntime: owns model params and the jitted device programs every
+pipeline shares.
+
+Plays the role of the reference's GradioWebUI config hub + split-VAE handles
+(reference: webUI/.../gradio_webUI.py:11-55, app.py:30-66), redesigned so the
+hot paths are whole-program XLA launches:
+
+  * decode_latents: quantize -> VQ-GAN decoder -> STFT+ decode -> ISTFT,
+    one jit per latent width (the reference decodes then loops librosa.istft
+    per sample on the host, utils.py:224-245).
+  * encode_audio: STFT -> STFT+ -> encoder -> quantize, one jit per width.
+  * unet_apply: the denoiser callable handed to DiffSynthSampler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.configs import AppConfig
+from diffusynth_tpu.diffusion.sampler import DiffSynthSampler
+from diffusynth_tpu.dsp import (
+    decode_stft,
+    depad_stft,
+    encode_stft,
+    istft,
+    pad_stft,
+    stft,
+)
+from diffusynth_tpu.nn.unet import ConditionedUnet
+from diffusynth_tpu.nn.vqgan import VQGAN
+from diffusynth_tpu.text import get_text_encoder
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class DiffuSynthRuntime:
+    """Bundle of models, params, text encoder, and jitted codec programs."""
+
+    def __init__(
+        self,
+        config: Optional[AppConfig] = None,
+        vqgan_variables: Optional[Dict] = None,
+        unet_variables: Optional[Dict] = None,
+        text_encoder=None,
+        seed: int = 0,
+    ):
+        self.config = config or AppConfig()
+        dtype = _dtype_of(self.config.compute_dtype)
+        self.vqgan = VQGAN(self.config.vqgan, dtype=dtype)
+        self.unet = ConditionedUnet(self.config.unet, dtype=dtype)
+        a = self.config.audio
+
+        key = jax.random.key(seed)
+        k_vq, k_unet = jax.random.split(key)
+        if vqgan_variables is None:
+            x0 = jnp.zeros((1, a.freq_resolution, a.time_resolution, 3))
+            vqgan_variables = self.vqgan.init(k_vq, x0)
+        if unet_variables is None:
+            z0 = jnp.zeros((1, a.latent_height, 8, a.channels))
+            unet_variables = self.unet.init(
+                k_unet, z0, jnp.zeros(1, jnp.int32),
+                jnp.zeros((1, self.config.unet.label_emb_dim)),
+            )
+        self.vqgan_variables = vqgan_variables
+        self.unet_variables = unet_variables
+        self.text_encoder = text_encoder or get_text_encoder(
+            prefer_clap=self.config.use_pretrained_clap
+        )
+
+        def unet_apply(params, x, t, cond):
+            # params MUST be threaded as an argument (never closed over):
+            # captured weights become literal constants in the lowered HLO,
+            # bloating the program by ~100 MB and breaking remote compile.
+            return self.unet.apply(params, x, t, cond)
+
+        self.unet_apply = unet_apply
+
+    # -- samplers ------------------------------------------------------------
+
+    def make_sampler(self) -> DiffSynthSampler:
+        d = self.config.diffusion
+        return DiffSynthSampler(
+            self.unet_apply,
+            timesteps=d.timesteps,
+            beta_start=d.beta_start,
+            beta_end=d.beta_end,
+            height=d.height,
+            channels=d.channels,
+            train_width=d.train_width,
+            max_width=d.max_width,
+            noise_strategy=d.noise_strategy,
+        )
+
+    # -- jitted codec programs -----------------------------------------------
+
+    @functools.cached_property
+    def _decode_fn(self):
+        a = self.config.audio
+        vqgan = self.vqgan
+
+        @functools.partial(jax.jit, static_argnames=("quantize",))
+        def decode(variables, latents, quantize=True):
+            if quantize:
+                latents, _, _ = vqgan.apply(
+                    variables, latents, method=vqgan.quantize
+                )
+            enc = vqgan.apply(variables, latents, method=vqgan.decode)
+            enc = enc.astype(jnp.float32)
+            D = decode_stft(enc)                      # (B, F, T) complex
+            D = depad_stft(D)                         # restore DC bin
+            T = D.shape[-1]
+            audio = istft(
+                D, a.n_fft, a.hop_length, a.win_length,
+                length=a.hop_length * (T - 1),
+            )
+            return enc, audio
+
+        return decode
+
+    def decode_latents(
+        self, latents: jnp.ndarray, quantize: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, H, W, C) latents -> (STFT+ encodings (B, F, T, 3),
+        audio (B, samples))."""
+        return self._decode_fn(self.vqgan_variables, latents, quantize=quantize)
+
+    @functools.cached_property
+    def _encode_fn(self):
+        a = self.config.audio
+        vqgan = self.vqgan
+
+        @jax.jit
+        def encode(variables, audio):
+            D = stft(audio, a.n_fft, a.hop_length, a.win_length)
+            enc = encode_stft(pad_stft(D, None))      # (B, F, T, 3)
+            z = vqgan.apply(variables, enc, method=vqgan.encode)
+            zq, _, _ = vqgan.apply(variables, z, method=vqgan.quantize)
+            return enc, z, zq
+
+        return encode
+
+    def encode_audio(self, audio: jnp.ndarray):
+        """(B, samples) -> (STFT+ encodings, latents, quantized latents).
+
+        samples should be hop * (vae_scale * W - 1) for a W-column latent
+        (reference: sound2sound_with_text.py:80).
+        """
+        return self._encode_fn(self.vqgan_variables, audio)
+
+    def quantize_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        zq, _, _ = self.vqgan.apply(
+            self.vqgan_variables, latents, method=self.vqgan.quantize
+        )
+        return zq
+
+    # -- text ------------------------------------------------------------
+
+    def encode_text(self, prompts) -> jnp.ndarray:
+        return jnp.asarray(self.text_encoder.encode(list(prompts)))

@@ -1,0 +1,82 @@
+"""Text2Sound: prompt (+ negative prompt) -> batch of timbres.
+
+Reference: webUI/natural_language_guided_4/text2sound.py:45-179. The whole
+generation - CFG-guided respaced sampling, quantization, decoding, ISTFT -
+runs as two cached XLA launches (sample scan + decode program) per width
+bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.diffusion.schedule import respaced_timesteps
+from diffusynth_tpu.pipelines.runtime import DiffuSynthRuntime
+
+
+@dataclass
+class Text2SoundResult:
+    latents: jnp.ndarray          # (B, H, W, C) raw sampled latents
+    quantized: jnp.ndarray        # (B, H, W, C) VQ-quantized latents
+    spectrograms: jnp.ndarray     # (B, F, T, 3) STFT+ encodings
+    audio: np.ndarray             # (B, samples) float32
+    sample_rate: int
+
+
+class Text2SoundPipeline:
+    def __init__(self, runtime: DiffuSynthRuntime):
+        self.runtime = runtime
+        self._samplers = {}
+
+    def _sampler_for(self, steps: int, cfg: float, uncond):
+        key = (steps, cfg)
+        if key not in self._samplers:
+            s = self.runtime.make_sampler()
+            s.respace(list(respaced_timesteps(
+                self.runtime.config.diffusion.timesteps, steps)))
+            if cfg != 1.0:
+                s.activate_classifier_free_guidance(cfg, uncond)
+            self._samplers[key] = s
+        return self._samplers[key]
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        batchsize: int = 1,
+        duration_sec: float = 3.0,
+        steps: int = 20,
+        cfg: float = 6.0,
+        sampler: str = "ddim",
+        seed: int = 0,
+        return_audio: bool = True,
+    ) -> Text2SoundResult:
+        rt = self.runtime
+        a = rt.config.audio
+        width = a.width_from_duration(duration_sec)
+        shape = (batchsize, a.latent_height, width, a.channels)
+
+        cond = jnp.broadcast_to(
+            rt.encode_text([prompt]), (batchsize, rt.text_encoder.feature_dim)
+        )
+        uncond = rt.encode_text([negative_prompt])[0]
+
+        s = self._sampler_for(steps, float(cfg), uncond)
+        key = jax.random.key(seed)
+        latents, _ = s.sample(rt.unet_variables, shape, key, condition=cond,
+                              sampler=sampler)
+
+        spectrograms, audio = rt.decode_latents(latents, quantize=True)
+        quantized = rt.quantize_latents(latents)
+        return Text2SoundResult(
+            latents=latents,
+            quantized=quantized,
+            spectrograms=spectrograms,
+            audio=np.asarray(audio) if return_audio else None,
+            sample_rate=a.sample_rate,
+        )

@@ -1,0 +1,236 @@
+"""Track rendering: MIDI -> music, batched the TPU way.
+
+The reference renders serially - one full diffusion per unique note duration
+and one librosa pitch-shift per note, inside a Python loop per track
+(reference: track_maker.py:114-149, 190-322). This redesign:
+
+  1. Parses all tracks and collects EVERY note across the whole file.
+  2. Dedupes renders by LATENT WIDTH (duration only enters generation
+     through width = f(duration), so width-dedupe is exactly equivalent to
+     the reference's per-duration cache but coarser-grained).
+  3. Renders each (width, instrument-settings) group as ONE batched
+     dynamic-mask inpaint call (instruments stack on the batch axis - and
+     under pjit that batch shards across chips).
+  4. Pitch-shifts notes grouped by (render, semitone) with the batched JAX
+     phase vocoder.
+  5. Mixes down on the host with one scatter-add per track.
+
+Reference semantics preserved: minimum note duration 0.75 s
+(track_maker.py:136), pitch reference note 52 (track_maker.py:144), per-note
+peak normalization before shifting (track_maker.py:142), empty-prompt
+condition (track_maker.py:231-233), dynamic masks with flexivity 1.0 and
+noising_strength 1.0 (note2music.py:107-127).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.diffusion.schedule import respaced_timesteps
+from diffusynth_tpu.dsp import pitch_shift
+from diffusynth_tpu.midi import MidiFile, MidiTrack, tick2second
+from diffusynth_tpu.midi.parser import DEFAULT_TEMPO
+from diffusynth_tpu.pipelines.runtime import DiffuSynthRuntime
+
+
+@dataclass
+class InstrumentConfig:
+    """Per-instrument rendering settings (reference: note2music.py:107-127)."""
+
+    latent: jnp.ndarray               # (1, H, train_width, C) guide latent
+    sample_steps: int = 10
+    sampler: str = "ddim"
+    noising_strength: float = 1.0
+    attack: float = 0.5               # kept for parity; unused under dynamic
+    before_release: float = 0.5       # masks, exactly like the reference
+    mask_flexivity: float = 1.0
+
+
+@dataclass
+class _NoteJob:
+    track_index: int
+    instrument: str
+    note: int
+    velocity: int
+    start_sec: float
+    duration_sec: float
+    width: int
+
+
+class TrackRenderPipeline:
+    def __init__(self, runtime: DiffuSynthRuntime):
+        self.runtime = runtime
+        self._samplers = {}
+
+    # -- MIDI -> note jobs ----------------------------------------------------
+
+    @staticmethod
+    def _tempo_at(tempo_events, time_tick: int) -> int:
+        """Tempo lookup (reference: track_maker.py:151-170)."""
+        current = DEFAULT_TEMPO
+        elapsed = 0
+        for ev in tempo_events:
+            if elapsed + ev.time > time_tick:
+                return current
+            elapsed += ev.time
+            current = ev.tempo
+        return current
+
+    # The 4-level U-Net needs >= 8 latent columns to survive 3 downsamples
+    # (the reference's production minimum width is 28, from the 0.75 s
+    # minimum note duration, so it never hits this).
+    MIN_WIDTH = 8
+
+    def _collect_jobs(self, mid: MidiFile, instrument_names: Sequence[str],
+                      max_notes: int) -> Tuple[List[_NoteJob], List[float]]:
+        a = self.runtime.config.audio
+        jobs: List[_NoteJob] = []
+        track_lengths: List[float] = []
+        assert len(mid.tracks) <= len(instrument_names), (
+            f"len(tracks) = {len(mid.tracks)} > {len(instrument_names)} = "
+            "len(instrument_names)"
+        )
+        for ti, track in enumerate(mid.tracks):
+            tempo_events = track.tempo_events
+            notes = track.note_events[:max_notes]
+            total = 0.0
+            for ev in track.note_events:
+                tempo = self._tempo_at(tempo_events, ev.start_time)
+                total += ev.duration * tick2second(1, mid.ticks_per_beat, tempo)
+            track_lengths.append(total + 10.0)  # safety tail, reference :187
+            for ev in notes:
+                tempo = self._tempo_at(tempo_events, ev.start_time)
+                spt = tick2second(1, mid.ticks_per_beat, tempo)
+                duration = max(ev.duration * spt, 0.75)
+                jobs.append(_NoteJob(
+                    track_index=ti,
+                    instrument=instrument_names[ti],
+                    note=ev.note,
+                    velocity=ev.velocity,
+                    start_sec=ev.start_time * spt,
+                    duration_sec=duration,
+                    width=max(a.width_from_duration(duration), self.MIN_WIDTH),
+                ))
+        return jobs, track_lengths
+
+    # -- batched rendering ------------------------------------------------
+
+    def _sampler_for(self, steps: int):
+        if steps not in self._samplers:
+            s = self.runtime.make_sampler()
+            s.respace(list(respaced_timesteps(
+                self.runtime.config.diffusion.timesteps, steps)))
+            self._samplers[steps] = s
+        return self._samplers[steps]
+
+    def _render_base_notes(
+        self,
+        jobs: List[_NoteJob],
+        instruments: Dict[str, InstrumentConfig],
+        seed: int,
+    ) -> Dict[Tuple[str, int], np.ndarray]:
+        """One batched diffusion per (settings, width) group; returns
+        peak-normalized audio per (instrument, width)."""
+        rt = self.runtime
+        a = rt.config.audio
+        needed: Dict[Tuple, List[str]] = {}
+        for j in jobs:
+            cfg = instruments[j.instrument]
+            key = (j.width, cfg.sample_steps, cfg.sampler,
+                   cfg.noising_strength, cfg.mask_flexivity)
+            group = needed.setdefault(key, [])
+            if j.instrument not in group:
+                group.append(j.instrument)
+
+        cond_one = rt.encode_text([""])  # (1, D) empty prompt, cached
+
+        rendered: Dict[Tuple[str, int], np.ndarray] = {}
+        for (width, steps, sampler_name, strength, flex), names in needed.items():
+            B = len(names)
+            guides = jnp.concatenate(
+                [instruments[n].latent for n in names], axis=0
+            )
+            shape = (B, a.latent_height, width, a.channels)
+            cond = jnp.broadcast_to(cond_one, (B, cond_one.shape[-1]))
+            s = self._sampler_for(steps)
+            latents, _ = s.inpaint_sample(
+                rt.unet_variables, shape, jax.random.key(seed),
+                noising_strength=strength, guide_img=guides,
+                condition=cond, sampler=sampler_name,
+                use_dynamic_mask=True, end_noise_level_ratio=0.0,
+                mask_flexivity=flex,
+            )
+            _, audio = rt.decode_latents(latents, quantize=True)
+            audio = np.asarray(audio, dtype=np.float32)
+            for bi, name in enumerate(names):
+                sample = audio[bi]
+                peak = np.max(np.abs(sample))
+                rendered[(name, width)] = sample / (peak if peak > 0 else 1.0)
+        return rendered
+
+    def _pitch_shift_notes(
+        self, jobs: List[_NoteJob],
+        rendered: Dict[Tuple[str, int], np.ndarray],
+    ) -> List[np.ndarray]:
+        """Batched phase-vocoder shifts, grouped by (render, semitones)."""
+        sr = self.runtime.config.audio.sample_rate
+        out: List[Optional[np.ndarray]] = [None] * len(jobs)
+        groups: Dict[Tuple[str, int, int], List[int]] = {}
+        for i, j in enumerate(jobs):
+            groups.setdefault((j.instrument, j.width, j.note - 52), []).append(i)
+        for (name, width, semis), idxs in groups.items():
+            base = rendered[(name, width)]
+            if semis == 0:
+                shifted = base
+            else:
+                shifted = np.asarray(
+                    pitch_shift(jnp.asarray(base), sr, int(semis))
+                )
+            for i in idxs:
+                out[i] = shifted
+        return out  # type: ignore[return-value]
+
+    # -- public API ---------------------------------------------------------
+
+    def render(
+        self,
+        mid: MidiFile,
+        instruments: Dict[str, InstrumentConfig],
+        instrument_names: Sequence[str],
+        max_notes: int = 100,
+        seed: int = 1234,
+    ) -> np.ndarray:
+        """MIDI -> mixed waveform (reference: DiffSynth.get_music,
+        track_maker.py:291-322)."""
+        sr = self.runtime.config.audio.sample_rate
+        jobs, track_lengths = self._collect_jobs(mid, instrument_names, max_notes)
+        if not jobs:
+            return np.zeros(sr, dtype=np.float32)
+
+        rendered = self._render_base_notes(jobs, instruments, seed)
+        note_audios = self._pitch_shift_notes(jobs, rendered)
+
+        # Host mixdown: scatter-add into per-track buffers, then sum.
+        n_tracks = len(track_lengths)
+        buffers = [
+            np.zeros(max(int(t * sr), 1), dtype=np.float32)
+            for t in track_lengths
+        ]
+        for job, audio in zip(jobs, note_audios):
+            buf = buffers[job.track_index]
+            start = int(job.start_sec * sr)
+            end = min(start + len(audio), len(buf))
+            if start >= len(buf):
+                continue
+            buf[start:end] += audio[: end - start]
+
+        max_len = max(len(b) for b in buffers)
+        full = np.zeros(max_len, dtype=np.float32)
+        for b in buffers:
+            full[: len(b)] += b
+        return full

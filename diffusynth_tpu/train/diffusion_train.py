@@ -1,0 +1,167 @@
+"""Diffusion (U-Net) training: noise-prediction loss, CFG dropout, DP mesh.
+
+Reference: model/diffusion.py:261-302 (conditional_p_losses, huber) and
+:379-523 (loop with uncondition_rate dropout, checkpoints every save_steps,
+IS eval). The train step is one jitted program with donated buffers; under a
+mesh, the batch shards on axis 0 and XLA psums gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusynth_tpu.configs import DiffusionTrainConfig, UNetConfig
+from diffusynth_tpu.diffusion.schedule import Schedule
+from diffusynth_tpu.nn.unet import ConditionedUnet
+from diffusynth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffusynth_tpu.train.checkpoints import Checkpointer
+from diffusynth_tpu.train.logging import MetricLogger
+
+
+def p_losses(unet_apply, params, key, x_start, t, condition, schedule_consts,
+             loss_type: str = "huber"):
+    """q_sample -> predict noise -> loss (reference: diffusion.py:261-302)."""
+    sqrt_ac, sqrt_1mac = schedule_consts
+    noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
+    shape = (-1,) + (1,) * (x_start.ndim - 1)
+    x_noisy = (sqrt_ac[t].reshape(shape) * x_start
+               + sqrt_1mac[t].reshape(shape) * noise)
+    pred = unet_apply(params, x_noisy, t, condition).astype(jnp.float32)
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(noise - pred))
+    if loss_type == "l2":
+        return jnp.mean(jnp.square(noise - pred))
+    if loss_type == "huber":
+        return jnp.mean(optax.huber_loss(pred, noise, delta=1.0))
+    raise NotImplementedError(loss_type)
+
+
+def make_diffusion_train_step(
+    unet: ConditionedUnet,
+    timesteps: int = 1000,
+    loss_type: str = "huber",
+    uncondition_rate: float = 0.1,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    lr: float = 1e-4,
+):
+    """Returns (init_fn, step_fn).
+
+    step_fn(params, opt_state, key, latents, conditions, uncond) is fully
+    jitted with donated params/opt_state; CFG condition dropout happens
+    in-step from the PRNG key (reference does it host-side with
+    random.random(), diffusion.py:471-476).
+    """
+    optimizer = optimizer or optax.adam(lr)
+    sched = Schedule.linear(timesteps)
+    consts = (
+        jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32),
+        jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32),
+    )
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, key, latents, conditions, uncond):
+        k_drop, k_t, k_noise = jax.random.split(key, 3)
+        B = latents.shape[0]
+        drop = jax.random.bernoulli(k_drop, uncondition_rate, (B,))
+        conditions = jnp.where(drop[:, None], uncond[None, :], conditions)
+        t = jax.random.randint(k_t, (B,), 0, timesteps)
+
+        def loss_fn(p):
+            return p_losses(
+                lambda pp, x, tt, c: unet.apply(pp, x, tt, c),
+                p, k_noise, latents, t, conditions, consts, loss_type,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_fn, step_fn
+
+
+def train_diffusion_model(
+    unet_config: UNetConfig,
+    train_config: DiffusionTrainConfig,
+    iterator: Iterator,
+    condition_lookup: Callable,     # attributes -> (B, D) condition array
+    unconditional_condition: np.ndarray,
+    init_variables: Optional[Dict] = None,
+    checkpointer: Optional[Checkpointer] = None,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    eval_fn: Optional[Callable] = None,   # step -> metric (e.g. IS)
+    eval_every: int = 20_000,
+    seed: int = 0,
+):
+    """Training loop (reference: diffusion.py:379-523). Returns (variables,
+    opt_state)."""
+    cfg = train_config
+    unet = ConditionedUnet(unet_config)
+    logger = logger or MetricLogger(f"runs/{cfg.model_name}_UNet")
+
+    data0, attrs0 = next(iterator)
+    cond0 = condition_lookup(attrs0)
+    if init_variables is None:
+        key = jax.random.key(seed)
+        init_variables = unet.init(
+            key, jnp.asarray(data0), jnp.zeros(data0.shape[0], jnp.int32),
+            jnp.asarray(cond0),
+        )
+    init_fn, step_fn = make_diffusion_train_step(
+        unet, timesteps=cfg.timesteps, loss_type=cfg.loss_type,
+        uncondition_rate=cfg.uncondition_rate, lr=cfg.lr,
+    )
+    params = init_variables
+    opt_state = init_fn(params)
+    uncond = jnp.asarray(unconditional_condition, jnp.float32)
+
+    if mesh is not None:
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        uncond = replicate(uncond, mesh)
+
+    key = jax.random.key(seed + 1)
+    losses = []
+    for i in range(cfg.max_iter):
+        data, attrs = next(iterator)
+        cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
+        latents = jnp.asarray(data, jnp.float32)
+        if mesh is not None:
+            latents = shard_batch(np.asarray(latents), mesh)
+            cond = shard_batch(np.asarray(cond), mesh)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step_fn(
+            params, opt_state, sub, latents, cond, uncond
+        )
+        losses.append(float(loss))
+        step = i + 1
+        if step % 100 == 0:
+            logger.log("loss_100", float(np.mean(losses[-100:])), step)
+        if checkpointer and step % cfg.save_steps == 0:
+            current = float(np.mean(losses[-cfg.save_steps:]))
+            checkpointer.save(cfg.model_name, "UNet",
+                              {"variables": params, "step": step})
+            checkpointer.save_hyperparameters(
+                cfg.model_name, "UNet",
+                {**unet_config.__dict__, "BATCH_SIZE": cfg.batch_size,
+                 "lr": cfg.lr, "current_iter": step, "current_loss": current},
+            )
+        if eval_fn and step % eval_every == 0:
+            metric = eval_fn(params, step)
+            logger.log("inception_score", float(metric), step)
+            if checkpointer:
+                checkpointer.save(cfg.model_name, "UNet",
+                                  {"variables": params, "step": step},
+                                  step=step)
+    return params, opt_state

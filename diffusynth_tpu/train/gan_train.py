@@ -1,0 +1,137 @@
+"""One-shot cGAN training (ConditionedUnet generator + conv discriminator).
+
+Reference: model/GAN.py:183-350. The generator maps noise -> latent in a
+single pass (no diffusion chain); standard alternating BCE updates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusynth_tpu.configs import GANTrainConfig, UNetConfig
+from diffusynth_tpu.nn.gan import GANDiscriminator
+from diffusynth_tpu.nn.unet import ConditionedUnet
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.train.checkpoints import Checkpointer
+from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.vqgan_train import bce_with_logits
+
+
+def make_gan_train_steps(
+    generator: ConditionedUnet,
+    disc: GANDiscriminator,
+    train_config: GANTrainConfig,
+):
+    """Returns (init_fn, step_fn). The generator consumes (noise, t=0,
+    condition) - the reference calls the U-Net with a zero timestep
+    equivalent single pass (GAN.py:114 generator(noise))."""
+    cfg = train_config
+    g_opt = optax.adam(cfg.g_lr)
+    d_opt = optax.adam(cfg.d_lr)
+
+    def init_fn(g_params, d_params):
+        return g_opt.init(g_params), d_opt.init(d_params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step_fn(g_params, d_params, g_opt_state, d_opt_state, key, real,
+                conditions):
+        B = real.shape[0]
+        t0 = jnp.zeros((B,), jnp.int32)
+        noise = jax.random.normal(key, real.shape)
+
+        # Discriminator step.
+        def d_loss_fn(dp):
+            fake = generator.apply(g_params, noise, t0, conditions)
+            fake = jax.lax.stop_gradient(fake)
+            real_logits = disc.apply(dp, real, conditions)
+            fake_logits = disc.apply(dp, fake, conditions)
+            return (bce_with_logits(real_logits, jnp.ones_like(real_logits))
+                    + bce_with_logits(fake_logits, jnp.zeros_like(fake_logits)))
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+
+        # Generator step against the updated discriminator.
+        def g_loss_fn(gp):
+            fake = generator.apply(gp, noise, t0, conditions)
+            fake_logits = disc.apply(d_params, fake, conditions)
+            return bce_with_logits(fake_logits, jnp.ones_like(fake_logits))
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(g_params)
+        g_updates, g_opt_state = g_opt.update(g_grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+
+        return (g_params, d_params, g_opt_state, d_opt_state,
+                {"d_loss": d_loss, "g_loss": g_loss})
+
+    return init_fn, step_fn
+
+
+def train_gan(
+    unet_config: UNetConfig,
+    train_config: GANTrainConfig,
+    iterator: Iterator,
+    condition_lookup: Callable,
+    checkpointer: Optional[Checkpointer] = None,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    seed: int = 0,
+):
+    """Training loop (reference: GAN.py:183-350)."""
+    cfg = train_config
+    generator = ConditionedUnet(unet_config)
+    disc = GANDiscriminator(label_emb_dim=unet_config.label_emb_dim)
+    logger = logger or MetricLogger(f"runs/{cfg.model_name}_GAN")
+
+    data0, attrs0 = next(iterator)
+    cond0 = jnp.asarray(condition_lookup(attrs0))
+    data0 = jnp.asarray(data0)
+    key = jax.random.key(seed)
+    k1, k2, key = jax.random.split(key, 3)
+    g_params = generator.init(
+        k1, data0, jnp.zeros(data0.shape[0], jnp.int32), cond0
+    )
+    d_params = disc.init(k2, data0, cond0)
+    init_fn, step_fn = make_gan_train_steps(generator, disc, cfg)
+    g_opt_state, d_opt_state = init_fn(g_params, d_params)
+    if mesh is not None:
+        g_params, d_params = replicate(g_params, mesh), replicate(d_params, mesh)
+        g_opt_state = replicate(g_opt_state, mesh)
+        d_opt_state = replicate(d_opt_state, mesh)
+
+    hist = []
+    for i in range(cfg.max_iter):
+        data, attrs = next(iterator)
+        cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
+        real = jnp.asarray(data, jnp.float32)
+        if mesh is not None:
+            real = shard_batch(np.asarray(real), mesh)
+            cond = shard_batch(np.asarray(cond), mesh)
+        key, sub = jax.random.split(key)
+        g_params, d_params, g_opt_state, d_opt_state, metrics = step_fn(
+            g_params, d_params, g_opt_state, d_opt_state, sub, real, cond
+        )
+        hist.append({k: float(v) for k, v in metrics.items()})
+        step = i + 1
+        if step % cfg.save_steps == 0:
+            means = {k: float(np.mean([h[k] for h in hist[-cfg.save_steps:]]))
+                     for k in hist[0]}
+            for k, v in means.items():
+                logger.log(k, v, step)
+            if checkpointer:
+                checkpointer.save(cfg.model_name, "generator",
+                                  {"variables": g_params, "step": step})
+                checkpointer.save(cfg.model_name, "discriminator",
+                                  {"variables": d_params, "step": step})
+                checkpointer.save_hyperparameters(
+                    cfg.model_name, "GAN",
+                    {**cfg.__dict__, "current_iter": step, **means},
+                )
+    return g_params, d_params

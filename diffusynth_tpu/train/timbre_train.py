@@ -1,0 +1,140 @@
+"""Timbre encoder training: 4-task classification over latents.
+
+Reference: model/timbre_encoder_pretrain.py:201-341 (NLL x3 + BCE, Adam,
+best-loss checkpointing every 500 steps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusynth_tpu.configs import TimbreEncoderConfig, TimbreTrainConfig
+from diffusynth_tpu.nn.timbre import TimbreEncoder
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.train.checkpoints import Checkpointer
+from diffusynth_tpu.train.logging import MetricLogger
+
+
+def _nll(log_probs, labels):
+    return -jnp.mean(jnp.take_along_axis(
+        log_probs, labels[:, None], axis=1))
+
+
+def _bce(probs, targets):
+    eps = 1e-7
+    p = jnp.clip(probs, eps, 1 - eps)
+    return -jnp.mean(targets * jnp.log(p) + (1 - targets) * jnp.log(1 - p))
+
+
+def make_timbre_train_step(
+    model: TimbreEncoder,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    lr: float = 1e-3,
+):
+    optimizer = optimizer or optax.adam(lr)
+
+    def init_fn(params):
+        return optimizer.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, latents, instrument, family, velocity,
+                qualities):
+        def loss_fn(p):
+            _, inst_lp, fam_lp, vel_lp, qual_p = model.apply(p, latents)
+            loss = (_nll(inst_lp, instrument) + _nll(fam_lp, family)
+                    + _nll(vel_lp, velocity) + _bce(qual_p, qualities))
+            accs = {
+                "instrument_acc": jnp.mean(
+                    (jnp.argmax(inst_lp, -1) == instrument) * 100.0),
+                "family_acc": jnp.mean(
+                    (jnp.argmax(fam_lp, -1) == family) * 100.0),
+                "velocity_acc": jnp.mean(
+                    (jnp.argmax(vel_lp, -1) == velocity) * 100.0),
+                "qualities_acc": jnp.mean(
+                    ((qual_p > 0.5) == qualities) * 100.0),
+            }
+            return loss, accs
+
+        (loss, accs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, accs
+
+    return init_fn, step_fn
+
+
+def batch_labels(attributes):
+    """attributes dicts -> label arrays (reference extracts them per batch,
+    timbre_encoder_pretrain.py:271-274)."""
+    instrument = np.asarray([a["instrument"] for a in attributes], np.int32)
+    family = np.asarray([a["instrument_family"] for a in attributes], np.int32)
+    velocity = np.asarray([a["velocity"] for a in attributes], np.int32)
+    qualities = np.asarray([a["qualities"] for a in attributes], np.float32)
+    return instrument, family, velocity, qualities
+
+
+def train_timbre_encoder(
+    model_config: TimbreEncoderConfig,
+    train_config: TimbreTrainConfig,
+    iterator: Iterator,
+    init_params: Optional[Dict] = None,
+    checkpointer: Optional[Checkpointer] = None,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    seed: int = 0,
+):
+    """Training loop (reference: timbre_encoder_pretrain.py:201-341)."""
+    cfg = train_config
+    model = TimbreEncoder(model_config)
+    logger = logger or MetricLogger(f"runs/{cfg.model_name}_timbre_encoder")
+
+    data0, _ = next(iterator)
+    params = init_params or model.init(jax.random.key(seed), jnp.asarray(data0))
+    init_fn, step_fn = make_timbre_train_step(model, lr=cfg.lr)
+    opt_state = init_fn(params)
+    if mesh is not None:
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    best = float("inf")
+    losses, acc_hist = [], []
+    for i in range(cfg.max_iter):
+        data, attrs = next(iterator)
+        inst, fam, vel, qual = batch_labels(attrs)
+        latents = jnp.asarray(data, jnp.float32)
+        if mesh is not None:
+            latents = shard_batch(np.asarray(latents), mesh)
+            inst = shard_batch(inst, mesh)
+            fam = shard_batch(fam, mesh)
+            vel = shard_batch(vel, mesh)
+            qual = shard_batch(qual, mesh)
+        params, opt_state, loss, accs = step_fn(
+            params, opt_state, latents, jnp.asarray(inst), jnp.asarray(fam),
+            jnp.asarray(vel), jnp.asarray(qual),
+        )
+        losses.append(float(loss))
+        acc_hist.append({k: float(v) for k, v in accs.items()})
+        step = i + 1
+        if step % cfg.save_steps == 0:
+            current = float(np.mean(losses[-cfg.save_steps:]))
+            logger.log("train_loss", current, step)
+            for k in acc_hist[0]:
+                logger.log(k, float(np.mean(
+                    [h[k] for h in acc_hist[-cfg.save_steps:]])), step)
+            if checkpointer and current < best:
+                best = current
+                checkpointer.save(cfg.model_name, "timbre_encoder",
+                                  {"variables": params, "step": step})
+                checkpointer.save_hyperparameters(
+                    cfg.model_name, "timbre_encoder",
+                    {**model_config.__dict__, "BATCH_SIZE": cfg.batch_size,
+                     "lr": cfg.lr, "current_iter": step,
+                     "current_loss": current},
+                )
+    return params, opt_state

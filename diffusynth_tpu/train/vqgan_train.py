@@ -1,0 +1,188 @@
+"""VQ-GAN adversarial training: alternating D/G updates, EMA codebook.
+
+Reference: model/VQGAN.py:461-763. Per iteration (matching the reference's
+order exactly): one generator forward in train mode (EMA codebook update),
+discriminator step on (real, fake.detach()), then generator step against the
+UPDATED discriminator. Losses: weighted-MAE magnitude + MAE phase
+reconstruction, vq commitment, adversarial BCE.
+
+Note the deliberate fix (documented, SURVEY.md section 7): the reference
+stacks Sigmoid inside the discriminator AND BCEWithLogitsLoss outside
+(VQGAN.py:421,665) - a double sigmoid. Our discriminator emits logits and
+the loss is sigmoid-BCE, the standard formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusynth_tpu.configs import VQGANConfig, VQGANTrainConfig
+from diffusynth_tpu.nn.vqgan import VQGAN, VQGANDiscriminator
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.train.checkpoints import Checkpointer
+from diffusynth_tpu.train.logging import MetricLogger
+
+
+def reconstruction_loss(y_pred, y_true, w1=1.0, w2=1.0, epsilon=1e-3):
+    """Weighted MAE on the magnitude channel + MAE on phase channels
+    (reference: VQGAN.py:461-517). NHWC: channel axis is last."""
+    y_true_safe = jnp.maximum(y_true[..., 0], epsilon)
+    log_magnitude_loss = w1 * jnp.mean(
+        jnp.abs(y_pred[..., 0] - y_true[..., 0]) / y_true_safe
+    )
+    phase_loss = w2 * jnp.mean(jnp.abs(y_pred[..., 1:] - y_true[..., 1:]))
+    return log_magnitude_loss, phase_loss, log_magnitude_loss + phase_loss
+
+
+def bce_with_logits(logits, labels):
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+def make_vqgan_train_step(
+    vqgan: VQGAN,
+    disc: VQGANDiscriminator,
+    train_config: VQGANTrainConfig,
+    g_optimizer: Optional[optax.GradientTransformation] = None,
+    d_optimizer: Optional[optax.GradientTransformation] = None,
+):
+    """Returns step(g_vars, d_params, g_opt, d_opt, data) -> (..., metrics).
+
+    g_vars = {"params": ..., "vq": ...}; the EMA codebook updates once per
+    iteration in the no-grad forward, exactly like the reference's single
+    training-mode forward (VQGAN.py:685).
+    """
+    cfg = train_config
+    g_opt = g_optimizer or optax.adam(cfg.lr)
+    d_opt = d_optimizer or optax.adam(cfg.d_lr)
+
+    def init_fn(g_vars, d_params):
+        return g_opt.init(g_vars["params"]), d_opt.init(d_params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step_fn(g_vars, d_params, g_opt_state, d_opt_state, data):
+        # 1) Generator forward in train mode: EMA codebook update + recon
+        #    for the discriminator step (no generator grads here).
+        (vq_loss_ng, recon_ng, aux), vq_mutated = vqgan.apply(
+            g_vars, data, train=True, mutable=("vq",)
+        )
+        g_vars = {**g_vars, "vq": vq_mutated["vq"]}
+        recon_detached = jax.lax.stop_gradient(recon_ng)
+
+        # 2) Discriminator step on (real, fake.detach()).
+        def d_loss_fn(dp):
+            real_logits = disc.apply(dp, data)
+            fake_logits = disc.apply(dp, recon_detached)
+            loss_real = bce_with_logits(real_logits, jnp.ones_like(real_logits))
+            loss_fake = bce_with_logits(fake_logits, jnp.zeros_like(fake_logits))
+            return loss_real + loss_fake
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+
+        # 3) Generator step against the UPDATED discriminator (fresh forward
+        #    in eval mode so the EMA state is not double-updated).
+        def g_loss_fn(gp):
+            variables = {**g_vars, "params": gp}
+            vq_loss, recon, _ = vqgan.apply(variables, data, train=False)
+            fake_logits = disc.apply(d_params, recon)
+            adver = bce_with_logits(fake_logits, jnp.ones_like(fake_logits))
+            lm, ph, rec = reconstruction_loss(
+                recon, data, cfg.w1, cfg.w2, cfg.threshold
+            )
+            total = rec + cfg.vq_weight * vq_loss + cfg.adver_weight * adver
+            return total, (lm, ph, vq_loss, adver)
+
+        (g_loss, (lm, ph, vq_loss, adver)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_vars["params"])
+        g_updates, g_opt_state = g_opt.update(
+            g_grads, g_opt_state, g_vars["params"]
+        )
+        g_vars = {**g_vars,
+                  "params": optax.apply_updates(g_vars["params"], g_updates)}
+
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "log_magnitude_loss": lm,
+            "phase_loss": ph,
+            "vq_loss": vq_loss,
+            "adver_loss": adver,
+            "perplexity": aux["perplexity"],
+        }
+        return g_vars, d_params, g_opt_state, d_opt_state, metrics
+
+    return init_fn, step_fn
+
+
+def train_vqgan(
+    model_config: VQGANConfig,
+    train_config: VQGANTrainConfig,
+    iterator: Iterator,
+    init_g_vars: Optional[Dict] = None,
+    init_d_params: Optional[Dict] = None,
+    checkpointer: Optional[Checkpointer] = None,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    seed: int = 0,
+):
+    """Training loop (reference: VQGAN.py:589-763). Returns (g_vars,
+    d_params)."""
+    cfg = train_config
+    vqgan = VQGAN(model_config)
+    disc = VQGANDiscriminator()
+    logger = logger or MetricLogger(f"runs/{cfg.model_name}_VQVAE")
+
+    data0, _ = next(iterator)
+    data0 = jnp.asarray(data0)
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    g_vars = init_g_vars or vqgan.init(k1, data0)
+    d_params = init_d_params or disc.init(k2, data0)
+
+    init_fn, step_fn = make_vqgan_train_step(vqgan, disc, cfg)
+    g_opt_state, d_opt_state = init_fn(g_vars, d_params)
+
+    if mesh is not None:
+        g_vars = replicate(g_vars, mesh)
+        d_params = replicate(d_params, mesh)
+        g_opt_state = replicate(g_opt_state, mesh)
+        d_opt_state = replicate(d_opt_state, mesh)
+
+    best = float("inf")
+    history = []
+    for i in range(cfg.max_iter):
+        data, _ = next(iterator)
+        data = jnp.asarray(data, jnp.float32)
+        if mesh is not None:
+            data = shard_batch(np.asarray(data), mesh)
+        g_vars, d_params, g_opt_state, d_opt_state, metrics = step_fn(
+            g_vars, d_params, g_opt_state, d_opt_state, data
+        )
+        history.append({k: float(v) for k, v in metrics.items()})
+        step = i + 1
+        if step % cfg.save_steps == 0:
+            window = history[-cfg.save_steps:]
+            means = {k: float(np.mean([h[k] for h in window]))
+                     for k in window[0]}
+            for k, v in means.items():
+                logger.log(k, v, step)
+            if checkpointer and means["g_loss"] < best:
+                best = means["g_loss"]
+                checkpointer.save(cfg.model_name, "imageVQVAE",
+                                  {"variables": g_vars, "step": step})
+                checkpointer.save(cfg.model_name, "imageVQVAE_discriminator",
+                                  {"variables": d_params, "step": step})
+                checkpointer.save_hyperparameters(
+                    cfg.model_name, "VQGAN_STFT",
+                    {**model_config.__dict__, **cfg.__dict__,
+                     "current_iter": step, **means},
+                )
+    return g_vars, d_params

@@ -1,0 +1,280 @@
+"""Gradio web app: the reference's four task tabs on the TPU pipelines.
+
+Reference: app.py + webUI/natural_language_guided_4/{text2sound,
+sound2sound_with_text, inpaint_with_text, note2music, gradio_webUI}.py.
+gradio is optional; `python -m diffusynth_tpu.ui.app --demo` runs a headless
+demo of all four tasks and writes WAVs instead.
+
+Shared control ranges mirror the reference's GradioWebUI factories
+(gradio_webUI.py:57-94): steps 10-100 (default 20), batch 1-16, duration
+0.25-8 s, CFG 0-20 (default 6), noising strength 0-1, ddim/ddpm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from diffusynth_tpu.configs import AppConfig
+from diffusynth_tpu.midi import MidiFile
+from diffusynth_tpu.pipelines import (
+    DiffuSynthRuntime,
+    InpaintPipeline,
+    Sound2SoundPipeline,
+    Text2SoundPipeline,
+    TrackRenderPipeline,
+)
+from diffusynth_tpu.pipelines.inpaint import build_latent_mask
+from diffusynth_tpu.pipelines.track_render import InstrumentConfig
+from diffusynth_tpu.ui.display import (
+    latent_to_image,
+    phase_to_image,
+    resize_image_to_aspect_ratio,
+    spectrogram_to_image,
+)
+from diffusynth_tpu.ui.presets import load_presets
+
+
+def build_app(runtime: DiffuSynthRuntime):
+    """Assemble the gr.Blocks app (reference: app.py:72-91)."""
+    import gradio as gr
+
+    text2sound = Text2SoundPipeline(runtime)
+    sound2sound = Sound2SoundPipeline(runtime)
+    inpaint = InpaintPipeline(runtime)
+    track_render = TrackRenderPipeline(runtime)
+    instruments, midis = load_presets(runtime)
+    a = runtime.config.audio
+
+    def _result_to_outputs(res, index=0):
+        spec = spectrogram_to_image(np.asarray(res.spectrograms[index]))
+        phase = phase_to_image(np.asarray(res.spectrograms[index]))
+        return (
+            resize_image_to_aspect_ratio(spec),
+            resize_image_to_aspect_ratio(phase),
+            (res.sample_rate, res.audio[index]),
+        )
+
+    with gr.Blocks(theme=gr.themes.Soft()) as demo:
+        gr.Markdown("# DiffuSynth-TPU")
+
+        with gr.Tab("Text2Sound"):
+            prompt = gr.Textbox(label="Prompt", value="a bright organ")
+            negative = gr.Textbox(label="Negative prompt", value="")
+            with gr.Row():
+                steps = gr.Slider(10, 100, value=20, step=1, label="Steps")
+                duration = gr.Slider(0.25, 8.0, value=3.0, step=0.25,
+                                     label="Duration (s)")
+                batch = gr.Slider(1, 16, value=4, step=1, label="Batch size")
+            with gr.Row():
+                cfg = gr.Slider(0, 20, value=6, step=0.5, label="CFG scale")
+                sampler = gr.Radio(["ddim", "ddpm"], value="ddim",
+                                   label="Sampler")
+                seed = gr.Number(value=0, label="Seed", precision=0)
+            out_spec = gr.Image(label="Spectrogram")
+            out_phase = gr.Image(label="Phase")
+            out_audio = gr.Audio(label="Audio")
+            gr.Button("Generate").click(
+                lambda p, n, s, d, b, c, sm, sd: _result_to_outputs(
+                    text2sound(p, n, int(b), float(d), int(s), float(c),
+                               sm, int(sd))),
+                [prompt, negative, steps, duration, batch, cfg, sampler, seed],
+                [out_spec, out_phase, out_audio],
+            )
+
+        with gr.Tab("Sound2Sound"):
+            src = gr.Audio(label="Source audio", type="numpy")
+            s2s_prompt = gr.Textbox(label="Prompt", value="warm strings")
+            s2s_negative = gr.Textbox(label="Negative prompt", value="")
+            with gr.Row():
+                s2s_strength = gr.Slider(0.05, 1.0, value=0.7,
+                                         label="Noising strength")
+                s2s_steps = gr.Slider(10, 100, value=20, step=1, label="Steps")
+                s2s_cfg = gr.Slider(0, 20, value=6, step=0.5, label="CFG")
+            s2s_seed = gr.Number(value=0, label="Seed", precision=0)
+            s2s_spec = gr.Image(label="Spectrogram")
+            s2s_phase = gr.Image(label="Phase")
+            s2s_audio = gr.Audio(label="Audio")
+
+            def _s2s(audio_in, p, n, strength, st, c, sd):
+                sr, wave = audio_in
+                wave = np.asarray(wave, dtype=np.float32)
+                if wave.ndim == 2:
+                    wave = wave.mean(axis=1)
+                if wave.dtype == np.int16 or np.abs(wave).max() > 2.0:
+                    wave = wave / 32768.0
+                _, _, zq = sound2sound.encode_origin_audio(wave, sr)
+                res = sound2sound(zq, p, n, batchsize=1,
+                                  noising_strength=float(strength),
+                                  steps=int(st), cfg=float(c), seed=int(sd))
+                return _result_to_outputs(res)
+
+            gr.Button("Transform").click(
+                _s2s,
+                [src, s2s_prompt, s2s_negative, s2s_strength, s2s_steps,
+                 s2s_cfg, s2s_seed],
+                [s2s_spec, s2s_phase, s2s_audio],
+            )
+
+        with gr.Tab("Inpaint"):
+            inp_src = gr.Audio(label="Source audio", type="numpy")
+            inp_prompt = gr.Textbox(label="Prompt", value="bells")
+            with gr.Row():
+                t0s = gr.Slider(0, 8, value=1.0, label="Mask time begin (s)")
+                t1s = gr.Slider(0, 8, value=2.0, label="Mask time end (s)")
+                f0s = gr.Slider(0, 128, value=0, step=1,
+                                label="Mask freq begin")
+                f1s = gr.Slider(0, 128, value=128, step=1,
+                                label="Mask freq end")
+            area = gr.Radio(["masked", "unmasked"], value="masked",
+                            label="Inpaint area")
+            with gr.Row():
+                inp_steps = gr.Slider(10, 100, value=20, step=1, label="Steps")
+                inp_cfg = gr.Slider(0, 20, value=6, step=0.5, label="CFG")
+                inp_seed = gr.Number(value=0, label="Seed", precision=0)
+            inp_spec = gr.Image(label="Spectrogram")
+            inp_audio = gr.Audio(label="Audio")
+
+            def _inpaint(audio_in, p, tb, te, fb, fe, ar, st, c, sd):
+                sr, wave = audio_in
+                wave = np.asarray(wave, dtype=np.float32)
+                if wave.ndim == 2:
+                    wave = wave.mean(axis=1)
+                if np.abs(wave).max() > 2.0:
+                    wave = wave / 32768.0
+                _, _, zq = sound2sound.encode_origin_audio(wave, sr)
+                mask = build_latent_mask(
+                    a.latent_height, zq.shape[2], a.vae_scale,
+                    a.time_resolution, mask_time_begin=tb, mask_time_end=te,
+                    mask_frequency_begin=fb // a.vae_scale,
+                    mask_frequency_end=fe // a.vae_scale, inpaint_area=ar,
+                )
+                res = inpaint(zq, mask, p, steps=int(st), cfg=float(c),
+                              seed=int(sd))
+                spec = spectrogram_to_image(np.asarray(res.spectrograms[0]))
+                return (resize_image_to_aspect_ratio(spec),
+                        (res.sample_rate, res.audio[0]))
+
+            gr.Button("Inpaint").click(
+                _inpaint,
+                [inp_src, inp_prompt, t0s, t1s, f0s, f1s, area, inp_steps,
+                 inp_cfg, inp_seed],
+                [inp_spec, inp_audio],
+            )
+
+        with gr.Tab("Arrangement"):
+            midi_choice = gr.Dropdown(list(midis), value=list(midis)[0],
+                                      label="Preset MIDI")
+            midi_upload = gr.File(label="...or upload a MIDI file")
+            instrument_choice = gr.Dropdown(
+                list(instruments), value=list(instruments)[0],
+                label="Instrument (all tracks)")
+            max_notes = gr.Slider(1, 1000, value=100, step=1,
+                                  label="Max notes per track")
+            arr_steps = gr.Slider(4, 50, value=10, step=1,
+                                  label="Sample steps per note")
+            arr_audio = gr.Audio(label="Rendered track")
+
+            def _arrange(midi_name, upload, instrument, mn, st):
+                path = upload.name if upload is not None else midis[midi_name]
+                mid = MidiFile.from_file(path)
+                inst_cfg = InstrumentConfig(
+                    latent=instruments[instrument]["latent_representation"],
+                    sample_steps=int(st),
+                )
+                names = [instrument] * len(mid.tracks)
+                audio = track_render.render(
+                    mid, {instrument: inst_cfg}, names, max_notes=int(mn))
+                peak = np.abs(audio).max()
+                return (a.sample_rate, audio / peak if peak > 0 else audio)
+
+            gr.Button("Make track").click(
+                _arrange,
+                [midi_choice, midi_upload, instrument_choice, max_notes,
+                 arr_steps],
+                [arr_audio],
+            )
+
+        with gr.Tab("README"):
+            gr.Markdown(
+                "DiffuSynth-TPU: text-guided latent-diffusion timbre "
+                "synthesis and MIDI track rendering, rebuilt TPU-native "
+                "(JAX/XLA). Tabs mirror the reference DiffuSynth v0.2 app."
+            )
+
+    return demo
+
+
+def run_headless_demo(runtime: DiffuSynthRuntime, out_dir: str = "/tmp"):
+    """Exercise all four task pipelines without gradio; writes WAVs."""
+    from scipy.io import wavfile
+
+    a = runtime.config.audio
+    print("== text2sound ==", flush=True)
+    t2s = Text2SoundPipeline(runtime)
+    res = t2s("a bright organ", "noise", batchsize=2, duration_sec=3.0,
+              steps=10, cfg=6.0, seed=0)
+    wavfile.write(os.path.join(out_dir, "demo_text2sound.wav"),
+                  a.sample_rate, res.audio[0])
+
+    print("== sound2sound ==", flush=True)
+    s2s = Sound2SoundPipeline(runtime)
+    res2 = s2s(res.quantized[:1], "warm strings", steps=10,
+               noising_strength=0.5, cfg=3.0, seed=1)
+    wavfile.write(os.path.join(out_dir, "demo_sound2sound.wav"),
+                  a.sample_rate, res2.audio[0])
+
+    print("== inpaint ==", flush=True)
+    inp = InpaintPipeline(runtime)
+    width = res.quantized.shape[2]
+    mask = build_latent_mask(a.latent_height, width, a.vae_scale,
+                             a.time_resolution, mask_time_begin=1.0,
+                             mask_time_end=2.0, mask_frequency_begin=0,
+                             mask_frequency_end=a.latent_height,
+                             inpaint_area="unmasked")
+    res3 = inp(res.quantized[:1], mask, "bells", steps=10, cfg=3.0, seed=2)
+    wavfile.write(os.path.join(out_dir, "demo_inpaint.wav"),
+                  a.sample_rate, res3.audio[0])
+
+    print("== arrangement ==", flush=True)
+    instruments, midis = load_presets(runtime)
+    tr = TrackRenderPipeline(runtime)
+    mid = MidiFile.from_file(list(midis.values())[0])
+    name = "preset_organ"
+    cfg = InstrumentConfig(
+        latent=instruments[name]["latent_representation"], sample_steps=6)
+    audio = tr.render(mid, {name: cfg}, [name] * len(mid.tracks),
+                      max_notes=16)
+    peak = np.abs(audio).max()
+    wavfile.write(os.path.join(out_dir, "demo_track.wav"), a.sample_rate,
+                  (audio / peak if peak > 0 else audio).astype(np.float32))
+    print(f"demo WAVs written to {out_dir}", flush=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="DiffuSynth-TPU app")
+    parser.add_argument("--demo", action="store_true",
+                        help="headless demo (no gradio)")
+    parser.add_argument("--share", action="store_true")
+    parser.add_argument("--out-dir", default="/tmp")
+    args = parser.parse_args(argv)
+
+    runtime = DiffuSynthRuntime(AppConfig())
+    if args.demo:
+        run_headless_demo(runtime, args.out_dir)
+        return
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        print("gradio is not installed; run with --demo for the headless "
+              "demo.", file=sys.stderr)
+        sys.exit(1)
+    build_app(runtime).launch(share=args.share)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,9 +58,9 @@ class TestVQ:
         vq = VectorQuantizerEMA(num_embeddings=16, embedding_dim=4, decay=0.5)
         z = jax.random.normal(KEY, (2, 8, 8, 4))
         variables = vq.init(KEY, z, train=False)
-        before = np.asarray(variables["vq"]["embedding"])
+        before = np.asarray(variables["vq"]["_embedding"])
         (_, _, _), mutated = vq.apply(variables, z, train=True, mutable=("vq",))
-        after = np.asarray(mutated["vq"]["embedding"])
+        after = np.asarray(mutated["vq"]["_embedding"])
         assert not np.allclose(before, after)
         # Eval mode must not change state.
         out = vq.apply(variables, z, train=False)
@@ -71,7 +71,7 @@ class TestVQ:
         z = jax.random.normal(KEY, (1, 4, 4, 4))
         params = vq.init(KEY, z)
         quantized, _, aux = vq.apply(params, z)
-        codebook = np.asarray(params["params"]["embedding"])
+        codebook = np.asarray(params["params"]["_embedding"])
         q = np.asarray(quantized).reshape(-1, 4)
         idx = np.asarray(aux["indices"]).reshape(-1)
         np.testing.assert_allclose(q, codebook[idx], atol=1e-6)

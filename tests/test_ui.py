@@ -1,0 +1,87 @@
+"""UI layer tests: presets, display conversions, headless demo (tiny model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusynth_tpu.midi import MidiFile
+from diffusynth_tpu.pipelines import DiffuSynthRuntime
+from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
+from diffusynth_tpu.ui.display import (
+    latent_to_image,
+    phase_to_image,
+    resize_image_to_aspect_ratio,
+    spectrogram_to_image,
+)
+from diffusynth_tpu.ui.presets import (
+    load_presets,
+    synthesize_instrument_wave,
+    _INSTRUMENT_RECIPES,
+)
+from tests.test_pipelines import tiny_config
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    return DiffuSynthRuntime(
+        tiny_config(), text_encoder=CachedTextEncoder(HashTextEncoder(16)),
+        seed=0,
+    )
+
+
+class TestPresets:
+    def test_instrument_synthesis(self):
+        for name in _INSTRUMENT_RECIPES:
+            wave = synthesize_instrument_wave(name, 4000, duration=1.0)
+            assert wave.shape == (8000,)  # (duration + 1s release) * sr
+            assert np.isfinite(wave).all()
+            rms = np.sqrt((wave ** 2).mean())
+            assert 0.05 < rms < 0.2  # RMS-normalized to ~0.1
+
+    def test_load_presets(self, runtime):
+        instruments, midis = load_presets(runtime)
+        assert set(instruments) == set(_INSTRUMENT_RECIPES)
+        d = runtime.config.diffusion
+        for name, inst in instruments.items():
+            assert inst["latent_representation"].shape == (
+                1, d.height, d.train_width, d.channels)
+        assert len(midis) == 3
+        for path in midis.values():
+            mid = MidiFile.from_file(path)
+            assert mid.tracks[0].note_events  # melodies parse back
+
+
+class TestDisplay:
+    def test_spectrogram_to_image(self):
+        enc = np.random.default_rng(0).uniform(0, 5, (64, 32, 3))
+        img = spectrogram_to_image(enc)
+        assert img.shape == (64, 32) and img.dtype == np.uint8
+        # Vertical flip: top row of the image is the LAST frequency row.
+        enc2 = np.zeros((4, 2, 3))
+        enc2[3, :, 0] = 1.0
+        assert spectrogram_to_image(enc2)[0].max() == 255
+
+    def test_phase_and_latent_images(self):
+        enc = np.random.default_rng(1).uniform(-1, 1, (16, 8, 3))
+        assert phase_to_image(enc).shape == (16, 8)
+        lat = np.random.default_rng(2).standard_normal((8, 4, 4))
+        img = latent_to_image(lat)
+        assert img.shape == (8, 16)  # 4 channels tiled horizontally
+
+    def test_resize_aspect_ratio(self):
+        img = np.zeros((10, 10), np.uint8)
+        out = resize_image_to_aspect_ratio(img, 4, 1)
+        assert out.shape == (10, 40)
+
+
+class TestHeadlessDemo:
+    def test_all_four_tasks(self, runtime, tmp_path):
+        from diffusynth_tpu.ui.app import run_headless_demo
+
+        run_headless_demo(runtime, str(tmp_path))
+        for name in ("demo_text2sound.wav", "demo_sound2sound.wav",
+                     "demo_inpaint.wav", "demo_track.wav"):
+            path = tmp_path / name
+            assert path.exists(), name
+            assert path.stat().st_size > 1000
