@@ -215,22 +215,14 @@ class TrackRenderPipeline:
         rendered = self._render_base_notes(jobs, instruments, seed)
         note_audios = self._pitch_shift_notes(jobs, rendered)
 
-        # Host mixdown: scatter-add into per-track buffers, then sum.
-        n_tracks = len(track_lengths)
-        buffers = [
-            np.zeros(max(int(t * sr), 1), dtype=np.float32)
-            for t in track_lengths
-        ]
-        for job, audio in zip(jobs, note_audios):
-            buf = buffers[job.track_index]
-            start = int(job.start_sec * sr)
-            end = min(start + len(audio), len(buf))
-            if start >= len(buf):
-                continue
-            buf[start:end] += audio[: end - start]
+        # Host mixdown: scatter-add into per-track buffers, then sum
+        # (multithreaded C++ when built; numpy fallback otherwise).
+        from diffusynth_tpu.native import mixdown, sum_tracks
 
-        max_len = max(len(b) for b in buffers)
-        full = np.zeros(max_len, dtype=np.float32)
-        for b in buffers:
-            full[: len(b)] += b
-        return full
+        buffers = mixdown(
+            note_audios,
+            starts=[int(j.start_sec * sr) for j in jobs],
+            track_of=[j.track_index for j in jobs],
+            track_lengths=[max(int(t * sr), 1) for t in track_lengths],
+        )
+        return sum_tracks(buffers)
