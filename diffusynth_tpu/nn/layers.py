@@ -305,6 +305,9 @@ class LinearCrossAttention(nn.Module):
             k = jnp.concatenate([k, label_k], axis=1)
             v = jnp.concatenate([v, label_v], axis=1)
 
+        # The extra k/v token makes the k/v sequence N+1; the fused kernel
+        # requires equal q/k lengths, so this variant stays on the jnp path
+        # (the shipped production config uses linear_add).
         q = jax.nn.softmax(q, axis=-1) * scale   # softmax over feature axis
         k = jax.nn.softmax(k, axis=1)            # softmax over sequence axis
         context = jnp.einsum("bnhd,bnhe->bhde", k, v)
@@ -318,14 +321,23 @@ class LinearCrossAttention(nn.Module):
 class LinearCrossAttentionAdd(nn.Module):
     """Efficient attention with the condition added to k and q
     ("linear_add", reference: diffusion_components.py:252-293;
-    the shipped production attention, app.py:40)."""
+    the shipped production attention, app.py:40).
+
+    use_pallas: None = auto (fused Pallas kernel on TPU when shapes
+    qualify), True/False forces. The fused kernel keeps the softmaxes and
+    both contractions in VMEM, cutting the HBM traffic of the attention
+    intermediates.
+    """
 
     heads: int = 4
     dim_head: int = 32
     dtype: Optional[Dtype] = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, condition=None):
+        from diffusynth_tpu.ops.linear_attention import linear_cross_attention
+
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
@@ -343,10 +355,8 @@ class LinearCrossAttentionAdd(nn.Module):
             k = k + label_k.reshape(B, 1, self.heads, self.dim_head)
             q = q + label_q.reshape(B, 1, self.heads, self.dim_head)
 
-        q = jax.nn.softmax(q, axis=-1) * scale
-        k = jax.nn.softmax(k, axis=1)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = linear_cross_attention(q, k, v, self.heads, self.dim_head,
+                                     scale, use_pallas=self.use_pallas)
         out = out.reshape(B, H, W, hidden)
         out = conv2d(C, 1, dtype=self.dtype, name="to_out_0")(out)
         return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,

@@ -137,8 +137,8 @@ class InpaintPipeline:
             noising_strength=noising_strength, guide_img=guide, mask=mask,
             condition=cond, sampler=sampler,
         )
-        spectrograms, audio = rt.decode_latents(latents, quantize=True)
-        quantized = rt.quantize_latents(latents)
+        quantized, spectrograms, audio = rt.decode_latents_full(
+            latents, quantize=True)
         return InpaintResult(
             latents=latents, quantized=quantized, spectrograms=spectrograms,
             audio=np.asarray(audio), sample_rate=a.sample_rate,

@@ -120,7 +120,7 @@ class DiffuSynthRuntime:
                 D, a.n_fft, a.hop_length, a.win_length,
                 length=a.hop_length * (T - 1),
             )
-            return enc, audio
+            return latents, enc, audio
 
         return decode
 
@@ -129,7 +129,15 @@ class DiffuSynthRuntime:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, H, W, C) latents -> (STFT+ encodings (B, F, T, 3),
         audio (B, samples))."""
-        return self._decode_fn(self.vqgan_variables, latents, quantize=quantize)
+        _, enc, audio = self._decode_fn(self.vqgan_variables, latents,
+                                        quantize=quantize)
+        return enc, audio
+
+    def decode_latents_full(self, latents: jnp.ndarray, quantize: bool = True):
+        """Like decode_latents but also returns the (quantized) latents -
+        one fused program, no second quantization pass."""
+        return self._decode_fn(self.vqgan_variables, latents,
+                               quantize=quantize)
 
     @functools.cached_property
     def _encode_fn(self):

@@ -110,8 +110,8 @@ class Sound2SoundPipeline:
             noising_strength=noising_strength, guide_img=guide,
             condition=cond, sampler=sampler,
         )
-        spectrograms, audio = rt.decode_latents(latents, quantize=True)
-        quantized = rt.quantize_latents(latents)
+        quantized, spectrograms, audio = rt.decode_latents_full(
+            latents, quantize=True)
         return Sound2SoundResult(
             latents=latents, quantized=quantized, spectrograms=spectrograms,
             audio=np.asarray(audio), sample_rate=a.sample_rate,

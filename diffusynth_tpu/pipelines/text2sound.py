@@ -71,8 +71,8 @@ class Text2SoundPipeline:
         latents, _ = s.sample(rt.unet_variables, shape, key, condition=cond,
                               sampler=sampler)
 
-        spectrograms, audio = rt.decode_latents(latents, quantize=True)
-        quantized = rt.quantize_latents(latents)
+        quantized, spectrograms, audio = rt.decode_latents_full(
+            latents, quantize=True)
         return Text2SoundResult(
             latents=latents,
             quantized=quantized,

@@ -31,29 +31,26 @@ class TestLinearAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-6)
 
-    def test_pallas_interpret_matches_reference(self):
-        """Run the Pallas kernel in interpreter mode (works on CPU)."""
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        import functools
-        from diffusynth_tpu.ops import linear_attention as la
+    @pytest.mark.parametrize("N,chunk", [(256, 256), (512, 128)])
+    def test_pallas_interpret_matches_reference(self, N, chunk):
+        """Run the streaming Pallas kernels in interpreter mode (CPU).
 
-        q, k, v = self._random_qkv(B=2, N=64, h=4, d=32)
+        The multi-chunk case exercises the online (flash-style) column
+        softmax rescaling across sequence chunks.
+        """
+        from jax.experimental.pallas import tpu as pltpu
+        from diffusynth_tpu.ops.linear_attention import linear_attention_pallas
+
+        q, k, v = self._random_qkv(B=2, N=N, h=4, d=32)
         scale = 32 ** -0.5
         expect = np.asarray(linear_attention_jnp(q, k, v, scale))
 
-        B, N, h, d = q.shape
-        kernel = functools.partial(la._attention_kernel, heads=h,
-                                   dim_head=d, scale=scale)
-        out = pl.pallas_call(
-            kernel,
-            grid=(B,),
-            in_specs=[pl.BlockSpec((1, N, h * d), lambda b: (b, 0, 0))] * 3,
-            out_specs=pl.BlockSpec((1, N, h * d), lambda b: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, N, h * d), q.dtype),
-            interpret=True,
-        )(q.reshape(B, N, h * d), k.reshape(B, N, h * d),
-          v.reshape(B, N, h * d))
+        B, _, h, d = q.shape
+        with pltpu.force_tpu_interpret_mode():
+            out = linear_attention_pallas(
+                q.reshape(B, N, h * d), k.reshape(B, N, h * d),
+                v.reshape(B, N, h * d), h, d, scale, chunk=chunk,
+            )
         np.testing.assert_allclose(
             np.asarray(out).reshape(B, N, h, d), expect, atol=1e-5)
 
