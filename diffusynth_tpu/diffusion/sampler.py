@@ -52,8 +52,14 @@ class DiffSynthSampler:
         train_width: int = 64,
         max_width: int = 256,
         noise_strategy: str = "repeat",
+        loop_mode: str = "scan",
     ):
+        """loop_mode: "scan" fuses all steps into one lax.scan program (the
+        fast path); "python" drives one jitted step per iteration from the
+        host - a workaround for an axon AOT-compiler fault observed on the
+        fused scan at specific (batch, width) combinations."""
         self.unet_apply = unet_apply
+        self.loop_mode = loop_mode
         self.height = height
         self.channels = channels
         self.train_width = train_width
@@ -190,6 +196,77 @@ class DiffSynthSampler:
                 body, init_img, (i_vals, mask_profiles, step_keys)
             )
             return final, traj
+
+        if self.loop_mode == "python":
+            # Workaround path: the axon AOT compiler faults on the fused
+            # scan for some (batch, width) combinations (observed:
+            # unconditional batch-64 at width 64 on v5e) while the identical
+            # per-step program runs fine. Same math, one jitted step,
+            # host-driven loop.
+            def _body_impl(params, img, i, mask_w, step_key, cond, uncond,
+                           guide, init_noise, static_mask):
+
+                def model_eval(img, mapped_t_b):
+                    if cfg_on:
+                        x_in = jnp.concatenate([img, img], axis=0)
+                        t_in = jnp.concatenate([mapped_t_b, mapped_t_b], axis=0)
+                        c_in = jnp.concatenate([uncond, cond], axis=0)
+                        eps = unet_apply(params, x_in, t_in, c_in)
+                        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                        return eps_u + cfg_scale * (eps_c - eps_u)
+                    return unet_apply(params, img, mapped_t_b, cond)
+
+                t_b = jnp.full((batch,), i, dtype=jnp.int32)
+                eps = model_eval(img, timestep_map[t_b]).astype(jnp.float32)
+                ac_t = alphas_cumprod[i]
+                ac_prev = alphas_cumprod_prev[i]
+                pred_x0 = (img - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
+                sigma = (eta * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
+                         * jnp.sqrt(1.0 - ac_t / ac_prev))
+                dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
+                img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
+                if eta > 0.0:
+                    if strategy == "repeat":
+                        tmpl = jax.random.normal(
+                            step_key, (batch, height, train_width, channels))
+                        img = img + sigma * tmpl[:, :, ridx, :]
+                    else:
+                        img = img + sigma * jax.random.normal(
+                            step_key, (batch, height, width, channels))
+                if inpaint:
+                    tm1 = jnp.maximum(i - 1, 0)
+                    t_b1 = jnp.full((batch,), tm1, dtype=jnp.int32)
+                    noised_guide = (
+                        sqrt_ac[t_b1].reshape(-1, 1, 1, 1) * guide
+                        + sqrt_1mac[t_b1].reshape(-1, 1, 1, 1) * init_noise)
+                    blend_src = jnp.where(i > 0, noised_guide, guide)
+                    m = (mask_w.reshape(1, 1, width, 1)
+                         if mask_mode == "dynamic" else static_mask)
+                    img = m * blend_src + (1.0 - m) * img
+                return img
+
+            jitted_step = jax.jit(_body_impl)
+
+            def python_loop(params, init_img, cond, uncond, guide, init_noise,
+                            mask_profiles, static_mask, key):
+                i_vals = np.arange(start_idx - 1,
+                                   start_idx - 1 - n_steps_exec, -1)
+                step_keys = jax.random.split(key, n_steps_exec)
+                if mask_profiles is None:
+                    mask_profiles = jnp.zeros((n_steps_exec, width),
+                                              jnp.float32)
+                img = init_img
+                traj = []
+                for j, i in enumerate(i_vals):
+                    img = jitted_step(params, img, jnp.int32(i),
+                                      mask_profiles[j], step_keys[j], cond,
+                                      uncond, guide, init_noise, static_mask)
+                    if return_traj:
+                        traj.append(img)
+                return img, (jnp.stack(traj) if return_traj else None)
+
+            self._loop_cache[sig] = python_loop
+            return python_loop
 
         jitted = jax.jit(loop)
         self._loop_cache[sig] = jitted

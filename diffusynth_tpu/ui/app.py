@@ -50,7 +50,10 @@ def build_app(runtime: DiffuSynthRuntime):
     instruments, midis = load_presets(runtime)
     a = runtime.config.audio
 
+    last_result = {}  # most recent generation, for save-as-instrument
+
     def _result_to_outputs(res, index=0):
+        last_result["res"] = res
         spec = spectrogram_to_image(np.asarray(res.spectrograms[index]))
         phase = phase_to_image(np.asarray(res.spectrograms[index]))
         return (
@@ -85,6 +88,21 @@ def build_app(runtime: DiffuSynthRuntime):
                 [prompt, negative, steps, duration, batch, cfg, sampler, seed],
                 [out_spec, out_phase, out_audio],
             )
+            with gr.Row():
+                inst_name = gr.Textbox(label="Save as instrument",
+                                       value="my_instrument")
+                save_status = gr.Markdown("")
+
+            def _save_instrument(name):
+                from diffusynth_tpu.ui.instruments import add_instrument
+
+                if "res" not in last_result:
+                    return "Generate a sound first."
+                add_instrument(last_result["res"], instruments, name)
+                return f"Saved '{name}' ({len(instruments)} instruments)."
+
+            gr.Button("Save").click(_save_instrument, [inst_name],
+                                    [save_status])
 
         with gr.Tab("Sound2Sound"):
             src = gr.Audio(label="Source audio", type="numpy")
@@ -173,6 +191,9 @@ def build_app(runtime: DiffuSynthRuntime):
             instrument_choice = gr.Dropdown(
                 list(instruments), value=list(instruments)[0],
                 label="Instrument (all tracks)")
+            gr.Button("Refresh instruments").click(
+                lambda: gr.update(choices=list(instruments)), [],
+                [instrument_choice])
             max_notes = gr.Slider(1, 1000, value=100, step=1,
                                   label="Max notes per track")
             arr_steps = gr.Slider(4, 50, value=10, step=1,

@@ -1,0 +1,53 @@
+"""The python loop_mode must produce identical results to the scan mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusynth_tpu.diffusion import DiffSynthSampler
+from diffusynth_tpu.diffusion.schedule import respaced_timesteps
+
+H, C, TRAIN_W = 16, 4, 16
+
+
+def _dummy_apply(params, x, t, condition):
+    out = 0.1 * x + 0.001 * t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+    if condition is not None:
+        out = out + 0.01 * jnp.mean(condition, axis=-1).reshape(-1, 1, 1, 1)
+    return out
+
+
+def _sampler(loop_mode, cfg=None):
+    s = DiffSynthSampler(_dummy_apply, timesteps=100, height=H, channels=C,
+                         train_width=TRAIN_W, max_width=64,
+                         loop_mode=loop_mode)
+    s.respace(list(respaced_timesteps(100, 8)))
+    if cfg:
+        s.activate_classifier_free_guidance(cfg, jnp.zeros(8))
+    return s
+
+
+@pytest.mark.parametrize("mode,cfg,sampler_name", [
+    ("sample", None, "ddim"),
+    ("sample", 3.0, "ddim"),
+    ("sample", None, "ddpm"),
+    ("inpaint", None, "ddim"),
+])
+def test_python_loop_matches_scan(mode, cfg, sampler_name):
+    shape = (2, H, 24, C)
+    cond = jnp.ones((2, 8))
+    key = jax.random.key(0)
+    outs = {}
+    for lm in ("scan", "python"):
+        s = _sampler(lm, cfg)
+        if mode == "sample":
+            out, _ = s.sample(None, shape, key, condition=cond,
+                              sampler=sampler_name)
+        else:
+            guide = jnp.full((2, H, TRAIN_W, C), 0.5)
+            out, _ = s.inpaint_sample(None, shape, key, 1.0, guide,
+                                      condition=cond, use_dynamic_mask=True,
+                                      mask_flexivity=1.0)
+        outs[lm] = np.asarray(out)
+    np.testing.assert_allclose(outs["python"], outs["scan"], atol=1e-5)
