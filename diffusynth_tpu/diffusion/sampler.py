@@ -53,13 +53,21 @@ class DiffSynthSampler:
         max_width: int = 256,
         noise_strategy: str = "repeat",
         loop_mode: str = "scan",
+        batch_sharding=None,
     ):
         """loop_mode: "scan" fuses all steps into one lax.scan program (the
         fast path); "python" drives one jitted step per iteration from the
         host - a workaround for an axon AOT-compiler fault observed on the
-        fused scan at specific (batch, width) combinations."""
+        fused scan at specific (batch, width) combinations.
+
+        batch_sharding: optional jax.sharding.NamedSharding for the batch
+        axis - inputs are placed with it before the loop, so XLA shards the
+        whole denoising program over the mesh (DP note/timbre rendering over
+        ICI; SURVEY.md section 2.3).
+        """
         self.unet_apply = unet_apply
         self.loop_mode = loop_mode
+        self.batch_sharding = batch_sharding
         self.height = height
         self.channels = channels
         self.train_width = train_width
@@ -363,6 +371,22 @@ class DiffSynthSampler:
             static_mask if static_mask is not None
             else jnp.zeros((1, 1, 1, 1), jnp.float32)
         )
+        if (self.batch_sharding is not None
+                and B % self.batch_sharding.mesh.size == 0):
+            # DP over the mesh: place batch-major inputs with the sharding;
+            # XLA propagates it through the whole scan (params replicate).
+            # Batches not divisible by the mesh stay on the default device.
+            img0 = jax.device_put(img0, self.batch_sharding)
+            guide_arg = jax.device_put(guide_arg, self.batch_sharding)
+            init_noise = jax.device_put(init_noise, self.batch_sharding)
+            cond_sharding = jax.sharding.NamedSharding(
+                self.batch_sharding.mesh,
+                jax.sharding.PartitionSpec(self.batch_sharding.spec[0], None),
+            )
+            if condition is not None:
+                condition = jax.device_put(condition, cond_sharding)
+            if uncond is not None:
+                uncond = jax.device_put(uncond, cond_sharding)
         final, traj = loop(
             params, img0, condition, uncond, guide_arg, init_noise,
             mask_profiles, smask_arg, key_steps,

@@ -50,7 +50,13 @@ class DiffuSynthRuntime:
         unet_variables: Optional[Dict] = None,
         text_encoder=None,
         seed: int = 0,
+        mesh=None,
+        loop_mode: str = "scan",
     ):
+        """mesh: optional jax.sharding.Mesh - batched generation (timbres,
+        MIDI notes) shards its batch axis over it (DP over ICI)."""
+        self.mesh = mesh
+        self.loop_mode = loop_mode
         self.config = config or AppConfig()
         dtype = _dtype_of(self.config.compute_dtype)
         self.vqgan = VQGAN(self.config.vqgan, dtype=dtype)
@@ -86,6 +92,11 @@ class DiffuSynthRuntime:
 
     def make_sampler(self) -> DiffSynthSampler:
         d = self.config.diffusion
+        batch_sharding = None
+        if self.mesh is not None:
+            from diffusynth_tpu.parallel.mesh import batch_sharding as bs
+
+            batch_sharding = bs(self.mesh, ndim=4)
         return DiffSynthSampler(
             self.unet_apply,
             timesteps=d.timesteps,
@@ -96,6 +107,8 @@ class DiffuSynthRuntime:
             train_width=d.train_width,
             max_width=d.max_width,
             noise_strategy=d.noise_strategy,
+            loop_mode=self.loop_mode,
+            batch_sharding=batch_sharding,
         )
 
     # -- jitted codec programs -----------------------------------------------
