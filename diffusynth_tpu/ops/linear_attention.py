@@ -43,6 +43,35 @@ def linear_attention_jnp(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhde,bnhd->bnhe", context, q)
 
 
+def linear_attention_blocked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             scale: float) -> jnp.ndarray:
+    """MXU-shaped variant: identical math, full-tile matmuls.
+
+    The per-head einsums produce (d, d) = (32, 32) outputs - 1/16 of an MXU
+    tile on both output axes. Instead, contract ALL head features at once:
+    (B, N, h*d) x (B, N, h*d) -> (B, h*d, h*d), zero the cross-head blocks
+    of the context, and run one more full-width matmul for the output. 4x
+    the FLOPs of the per-head version but full 128-lane tiles, which is a
+    net win on TPU for h*d == 128 (see tests for numerical equality).
+    """
+    B, N, h, d = q.shape
+    F = h * d
+    q = jax.nn.softmax(q, axis=-1) * scale
+    k = jax.nn.softmax(k, axis=1)
+    qf = q.reshape(B, N, F)
+    kf = k.reshape(B, N, F)
+    vf = v.reshape(B, N, F)
+
+    ctx = jnp.einsum("bnf,bng->bfg", kf, vf,
+                     preferred_element_type=jnp.float32)
+    # Zero cross-head blocks: block-diagonal mask (host constant).
+    blocks = np.kron(np.eye(h), np.ones((d, d))).astype(np.float32)
+    ctx = ctx * jnp.asarray(blocks)
+    out = jnp.einsum("bnf,bfg->bng", qf, ctx.astype(qf.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, N, h, d).astype(q.dtype)
+
+
 def _context_kernel(k_ref, v_ref, ctx_ref, m_ref, s_ref, *, n_chunks: int):
     """Online column-softmax context accumulation (one (b, chunk) cell)."""
     import jax.experimental.pallas as pl
@@ -152,12 +181,13 @@ def linear_cross_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
     dim_head: int, scale: float, use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Dispatch: (B, N, h, d) in/out; jnp by default.
+    """Dispatch: (B, N, h, d) in/out.
 
-    Measured on v5e (B=128, N=8192): the fused kernel is ~par with XLA's
-    einsum path standalone (9.8 vs 8.8 ms) and slightly slower inside the
-    U-Net scan - XLA already fuses this pattern well - so Pallas stays
-    opt-in (use_pallas=True) rather than the default.
+    Default: the MXU-shaped blocked formulation when h*d is a multiple of
+    the 128-lane tile (identical numerics, full-tile matmuls), the per-head
+    einsum otherwise. use_pallas=True selects the fused streaming kernel -
+    measured ~par with XLA standalone (9.8 vs 8.8 ms at B=128 N=8192), so
+    it stays opt-in.
     """
     B, N, h, d = q.shape
     if use_pallas is None:
@@ -172,4 +202,6 @@ def linear_cross_attention(
         v2 = v.reshape(B, N, h * d)
         out = linear_attention_pallas(q2, k2, v2, heads, dim_head, scale)
         return out.reshape(B, N, h, d)
+    if (h * d) % 128 == 0:
+        return linear_attention_blocked(q, k, v, scale)
     return linear_attention_jnp(q, k, v, scale)

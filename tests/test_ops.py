@@ -59,4 +59,24 @@ class TestLinearAttention:
         out = linear_cross_attention(q, k, v, 4, 32, 32 ** -0.5)
         expect = linear_attention_jnp(q, k, v, 32 ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
+
+    def test_blocked_matches_reference(self):
+        from diffusynth_tpu.ops.linear_attention import (
+            linear_attention_blocked,
+        )
+
+        q, k, v = self._random_qkv(B=3, N=96, h=4, d=32, seed=7)
+        scale = 32 ** -0.5
+        out = linear_attention_blocked(q, k, v, scale)
+        expect = linear_attention_jnp(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
+
+    def test_blocked_non128_falls_back(self):
+        """Dispatcher uses the per-head path when h*d isn't tile-aligned."""
+        q, k, v = self._random_qkv(B=1, N=32, h=2, d=16)
+        out = linear_cross_attention(q, k, v, 2, 16, 16 ** -0.5)
+        expect = linear_attention_jnp(q, k, v, 16 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-6)
