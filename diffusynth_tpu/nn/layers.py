@@ -44,6 +44,32 @@ def group_norm(num_groups: int = 32, epsilon: float = 1e-6, dtype=None,
                         name=name)
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in nn.GroupNorm(num_groups=1) with a fused Pallas forward on TPU.
+
+    The sampling step spends ~60% of device time in GroupNorm passes
+    (benchmarks/RESULTS_r1.md); the fused kernel computes stats and
+    normalizes in one VMEM residency (ops/group_norm.py). Param names/shapes
+    match nn.GroupNorm ("scale"/"bias", (C,)), so checkpoints and the torch
+    converter are unaffected; on CPU (and for blocks too large for VMEM) it
+    evaluates the identical reference formulation.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from diffusynth_tpu.ops.group_norm import group_norm_auto
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return group_norm_auto(x, scale, bias, self.epsilon)
+
+
 def conv2d(features: int, kernel_size: int, stride: int = 1, padding: int = 0,
            use_bias: bool = True, feature_group_count: int = 1, dtype=None,
            name: Optional[str] = None) -> nn.Conv:
@@ -260,13 +286,11 @@ class ConvNextBlock(nn.Module):
             h = h + t[:, None, None, :]
 
         if self.norm:
-            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
-                             name="net_0")(h)
+            h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="net_0")(h)
         h = conv2d(self.dim_out * self.mult, 3, padding=1, dtype=self.dtype,
                    name="net_1")(h)
         h = jax.nn.gelu(h)
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
-                         name="net_3")(h)
+        h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="net_3")(h)
         h = conv2d(self.dim_out, 3, padding=1, dtype=self.dtype,
                    name="net_4")(h)
 
@@ -314,8 +338,8 @@ class LinearCrossAttention(nn.Module):
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(B, H, W, hidden)
         out = conv2d(C, 1, dtype=self.dtype, name="to_out_0")(out)
-        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
-                            name="to_out_1")(out)
+        return FusedGroupNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="to_out_1")(out)
 
 
 class LinearCrossAttentionAdd(nn.Module):
@@ -359,8 +383,8 @@ class LinearCrossAttentionAdd(nn.Module):
                                      scale, use_pallas=self.use_pallas)
         out = out.reshape(B, H, W, hidden)
         out = conv2d(C, 1, dtype=self.dtype, name="to_out_0")(out)
-        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
-                            name="to_out_1")(out)
+        return FusedGroupNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="to_out_1")(out)
 
 
 def pad_to_match(encoder_tensor, decoder_tensor):

@@ -44,8 +44,9 @@ class _Attn(nn.Module):
 
     @nn.compact
     def __call__(self, x, condition=None):
-        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype,
-                         name="norm")(x)
+        from diffusynth_tpu.nn.layers import FusedGroupNorm
+
+        h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if self.attn_type == "linear_cat":
             h = LinearCrossAttention(dtype=self.dtype, name="fn")(h, condition)
         elif self.attn_type == "linear_add":

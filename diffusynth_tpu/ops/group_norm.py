@@ -1,0 +1,142 @@
+"""Fused GroupNorm(num_groups=1) as a Pallas TPU kernel.
+
+Profiling the sampling step (benchmarks/RESULTS_r1.md) shows ~60% of device
+time in GroupNorm statistic reductions + their normalize passes: the U-Net
+has ~72 norm sites per step, each costing XLA three full passes over the
+activation (read for stats, read+write for normalize). This kernel computes
+stats AND normalizes in a single VMEM residency per batch element - two
+passes of HBM traffic instead of three.
+
+Differentiable via custom_vjp (backward recomputes with plain jnp math -
+training takes the standard path, inference gets the fused forward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def group_norm_reference(x: jnp.ndarray, scale: jnp.ndarray,
+                         bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Plain jnp layer-style GroupNorm(num_groups=1) over (B, ..., C)."""
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    m = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(m)
+    out = (x32 - m) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    """Stats + normalize in one VMEM residency, bf16-resident.
+
+    The input block never materializes in f32 (that blew VMEM at
+    (8192, 192)): the sum accumulates f32 on the fly, the sum of squares
+    rides the MXU (bf16 x bf16 -> f32 accumulation is exact), and the
+    normalize folds into one fused multiply-add x * a + b with f32-derived
+    per-channel a/b.
+    """
+    x = x_ref[0]                                   # (HW, C), input dtype
+    n = x.shape[0] * x.shape[1]
+    s1 = jnp.sum(x, dtype=jnp.float32)
+    # Sum of squares via the (C, C) Gram matrix on the MXU (f32 accumulate),
+    # then the diagonal: HW*C^2 extra FLOPs are negligible and no f32 copy
+    # of the block ever materializes.
+    gram = jax.lax.dot_general(
+        x, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, gram.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, gram.shape, 1)
+    s2 = jnp.sum(jnp.where(row == col, gram, 0.0))
+    m = s1 / n
+    var = s2 / n - m * m
+    inv = jax.lax.rsqrt(var + eps)
+    scale = scale_ref[0].astype(jnp.float32)       # (C,)
+    bias = bias_ref[0].astype(jnp.float32)
+    a = (scale * inv).astype(x.dtype)
+    b = (bias - m * inv * scale).astype(x.dtype)
+    o_ref[0] = x * a + b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_group_norm(x, scale, bias, eps: float = 1e-5):
+    """GroupNorm(num_groups=1) with the fused Pallas forward.
+
+    x: (B, H, W, C) or (B, L, C); scale/bias: (C,).
+    """
+    return _forward(x, scale, bias, eps)
+
+
+def _forward(x, scale, bias, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    B, C = x.shape[0], x.shape[-1]
+    hw = int(np.prod(x.shape[1:-1]))
+    x3 = x.reshape(B, hw, C)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, hw, C), x.dtype),
+        # In-place normalize + a raised VMEM budget: the biggest U-Net
+        # blocks ((8192, 192) bf16, lane-padded to 256 = 4MB) need ~24MB
+        # with Mosaic's double-buffered in+out windows.
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x3, scale.reshape(1, C), bias.reshape(1, C))
+    return out.reshape(orig_shape)
+
+
+def _fwd(x, scale, bias, eps):
+    return _forward(x, scale, bias, eps), (x, scale, bias)
+
+
+def _bwd(eps, residuals, g):
+    """Backward via jnp (differentiate the reference formulation)."""
+    x, scale, bias = residuals
+    _, vjp = jax.vjp(lambda x, s, b: group_norm_reference(x, s, b, eps),
+                     x, scale, bias)
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fwd, _bwd)
+
+
+# Measured on v5e (bf16, B=128): the fused kernel wins on SMALL blocks
+# (bottleneck norms, e.g. (16x8, 384): 1.5 vs 2.0 ms) where grid overhead is
+# amortized, and loses on LARGE blocks ((128x64, 192): 5.5 vs 2.6 ms) where
+# the per-batch serial grid can't match XLA's pipelined reduce. Dispatch
+# fused only below this per-sample size.
+_MAX_FUSED_BYTES = 256 * 1024
+
+
+def group_norm_auto(x, scale, bias, eps: float = 1e-5,
+                    use_pallas: Optional[bool] = None):
+    """Dispatch: fused kernel on TPU when the per-sample block fits VMEM."""
+    if use_pallas is None:
+        per_sample = int(np.prod(x.shape[1:])) * x.dtype.itemsize
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and x.shape[-1] % 8 == 0     # lane-dim friendliness (96/192/384)
+            and per_sample <= _MAX_FUSED_BYTES
+        )
+    if use_pallas:
+        return fused_group_norm(x, scale, bias, eps)
+    return group_norm_reference(x, scale, bias, eps)
