@@ -88,6 +88,37 @@ class DiffuSynthRuntime:
 
         self.unet_apply = unet_apply
 
+    @classmethod
+    def from_pretrained(
+        cls,
+        models_dir: str,
+        vqgan_name: str = "vqgan",
+        unet_name: str = "unet",
+        config: Optional[AppConfig] = None,
+        **kwargs,
+    ) -> "DiffuSynthRuntime":
+        """Load a runtime from converted orbax checkpoints.
+
+        Mirrors the reference's load path (app.py:30-41: get_VQGAN /
+        get_diffusion_model with load_pretrain=True); .pth files convert via
+        `python -m diffusynth_tpu.compat.convert_cli`.
+        """
+        from diffusynth_tpu.train.checkpoints import Checkpointer
+
+        rt = cls(config=config, **kwargs)  # random init as restore template
+        ckpt = Checkpointer(models_dir)
+        if ckpt.exists(vqgan_name, "imageVQVAE"):
+            restored = ckpt.restore(
+                vqgan_name, "imageVQVAE",
+                {"variables": rt.vqgan_variables, "step": 0})
+            rt.vqgan_variables = restored["variables"]
+        if ckpt.exists(unet_name, "UNet"):
+            restored = ckpt.restore(
+                unet_name, "UNet",
+                {"variables": rt.unet_variables, "step": 0})
+            rt.unet_variables = restored["variables"]
+        return rt
+
     # -- samplers ------------------------------------------------------------
 
     def make_sampler(self) -> DiffSynthSampler:

@@ -81,6 +81,9 @@ def build_app(runtime: DiffuSynthRuntime):
             out_spec = gr.Image(label="Spectrogram")
             out_phase = gr.Image(label="Phase")
             out_audio = gr.Audio(label="Audio")
+            # Batch browsing (reference: text2sound.py index slider).
+            sample_index = gr.Slider(0, 15, value=0, step=1,
+                                     label="Sample index")
             gr.Button("Generate").click(
                 lambda p, n, s, d, b, c, sm, sd: _result_to_outputs(
                     text2sound(p, n, int(b), float(d), int(s), float(c),
@@ -88,6 +91,16 @@ def build_app(runtime: DiffuSynthRuntime):
                 [prompt, negative, steps, duration, batch, cfg, sampler, seed],
                 [out_spec, out_phase, out_audio],
             )
+
+            def _browse(idx):
+                if "res" not in last_result:
+                    return None, None, None
+                res = last_result["res"]
+                idx = min(int(idx), res.audio.shape[0] - 1)
+                return _result_to_outputs(res, index=idx)
+
+            sample_index.change(_browse, [sample_index],
+                                [out_spec, out_phase, out_audio])
             with gr.Row():
                 inst_name = gr.Textbox(label="Save as instrument",
                                        value="my_instrument")

@@ -1,0 +1,40 @@
+"""Checkpoint round trip: save converted-style variables, reload via
+DiffuSynthRuntime.from_pretrained, outputs must match exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.pipelines import DiffuSynthRuntime
+from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
+from diffusynth_tpu.train.checkpoints import Checkpointer
+from tests.test_pipelines import tiny_config
+
+
+def test_from_pretrained_roundtrip(tmp_path):
+    cfg = tiny_config()
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt1 = DiffuSynthRuntime(cfg, text_encoder=enc, seed=3)
+
+    models_dir = str(tmp_path / "models_jax")
+    ckpt = Checkpointer(models_dir)
+    ckpt.save("vqgan", "imageVQVAE",
+              {"variables": rt1.vqgan_variables, "step": 7})
+    ckpt.save("unet", "UNet", {"variables": rt1.unet_variables, "step": 9})
+
+    rt2 = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99,  # different seed
+    )
+
+    latents = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 8, 4))
+        .astype(np.float32))
+    _, a1 = rt1.decode_latents(latents)
+    _, a2 = rt2.decode_latents(latents)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+    t = jnp.zeros(1, jnp.int32)
+    c = jnp.zeros((1, 16))
+    o1 = rt1.unet_apply(rt1.unet_variables, latents, t, c)
+    o2 = rt2.unet_apply(rt2.unet_variables, latents, t, c)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
