@@ -1,0 +1,269 @@
+"""Dependency-free HTTP inference server.
+
+Endpoints (JSON in, JSON out; audio as base64 WAV):
+
+  GET  /health                    liveness + batcher stats
+  POST /v1/warmup                 {"widths": [64], "steps": 20, "cfg": 6.0}
+  POST /v1/text2sound             {"prompt": ..., "negative_prompt": "",
+                                   "duration_sec": 3.0, "steps": 20,
+                                   "cfg": 6.0, "sampler": "ddim", "seed": 0}
+  POST /v1/sound2sound            {"audio_b64": ..., "sample_rate": 16000,
+                                   "prompt": ..., "noising_strength": 0.7, ...}
+  POST /v1/track                  {"midi_b64": ..., "instrument":
+                                   "preset_organ", "sample_steps": 10,
+                                   "max_notes": 100}
+
+text2sound requests are coalesced by the micro-batcher: same
+(width-bucket, steps, cfg, negative prompt, sampler) requests within the
+batching window run as ONE batched device launch, each with its own
+deterministic per-seed noise.
+
+Run: python -m diffusynth_tpu.serving.server --port 8600
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusynth_tpu.configs import AppConfig, bucket_width
+from diffusynth_tpu.diffusion.schedule import respaced_timesteps
+from diffusynth_tpu.pipelines import (
+    DiffuSynthRuntime,
+    Sound2SoundPipeline,
+    TrackRenderPipeline,
+)
+from diffusynth_tpu.pipelines.track_render import InstrumentConfig
+from diffusynth_tpu.serving.batcher import MicroBatcher
+
+
+def _wav_b64(audio: np.ndarray, sample_rate: int) -> str:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sample_rate, np.asarray(audio, np.float32))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class DiffuSynthServer:
+    def __init__(self, runtime: Optional[DiffuSynthRuntime] = None,
+                 max_batch: int = 16, window_ms: float = 30.0):
+        self.runtime = runtime or DiffuSynthRuntime(AppConfig())
+        self.s2s = Sound2SoundPipeline(self.runtime)
+        self.track = TrackRenderPipeline(self.runtime)
+        self._samplers: Dict[Tuple, Any] = {}
+        self._lock = threading.Lock()
+        self.batcher = MicroBatcher(self._run_text2sound_batch,
+                                    max_batch=max_batch, window_ms=window_ms)
+        self._instruments = None
+
+    # -- text2sound batching --------------------------------------------------
+
+    def _sampler_for(self, steps: int, cfg: float, negative_prompt: str):
+        key = (steps, cfg, negative_prompt)
+        with self._lock:
+            if key not in self._samplers:
+                s = self.runtime.make_sampler()
+                s.respace(list(respaced_timesteps(
+                    self.runtime.config.diffusion.timesteps, steps)))
+                if cfg != 1.0:
+                    uncond = self.runtime.encode_text([negative_prompt])[0]
+                    s.activate_classifier_free_guidance(cfg, uncond)
+                self._samplers[key] = s
+            return self._samplers[key]
+
+    def _run_text2sound_batch(self, signature: Tuple, payloads: List[Dict]):
+        width, steps, cfg, negative_prompt, sampler_name = signature
+        rt = self.runtime
+        a = rt.config.audio
+        B = len(payloads)
+        d = rt.config.diffusion
+
+        cond = jnp.asarray(rt.encode_text([p["prompt"] for p in payloads]))
+        # Per-request deterministic noise templates from per-request seeds.
+        templates = [
+            jax.random.normal(jax.random.key(int(p.get("seed", 0))),
+                              (1, d.height, d.train_width, d.channels))
+            for p in payloads
+        ]
+        template = jnp.concatenate(templates, axis=0)
+
+        s = self._sampler_for(steps, cfg, negative_prompt)
+        shape = (B, d.height, width, d.channels)
+        latents, _ = s.sample(rt.unet_variables, shape, jax.random.key(0),
+                              condition=cond, sampler=sampler_name,
+                              initial_noise=template)
+        _, _, audio = rt.decode_latents_full(latents, quantize=True)
+        audio = np.asarray(audio, np.float32)
+        return [
+            {"audio_b64": _wav_b64(audio[i], a.sample_rate),
+             "sample_rate": a.sample_rate,
+             "batch_size_executed": B}
+            for i in range(B)
+        ]
+
+    # -- request handlers ------------------------------------------------------
+
+    def text2sound(self, body: Dict) -> Dict:
+        a = self.runtime.config.audio
+        width = bucket_width(
+            a.width_from_duration(float(body.get("duration_sec", 3.0))))
+        signature = (
+            width,
+            int(body.get("steps", 20)),
+            float(body.get("cfg", 6.0)),
+            str(body.get("negative_prompt", "")),
+            str(body.get("sampler", "ddim")),
+        )
+        return self.batcher.submit(signature, body)
+
+    def sound2sound(self, body: Dict) -> Dict:
+        from scipy.io import wavfile
+
+        raw = base64.b64decode(body["audio_b64"])
+        sr, wave = wavfile.read(io.BytesIO(raw))
+        wave = np.asarray(wave, np.float32)
+        if wave.ndim == 2:
+            wave = wave.mean(axis=1)
+        if np.abs(wave).max() > 2.0:
+            wave = wave / 32768.0
+        _, _, zq = self.s2s.encode_origin_audio(
+            wave, int(sr), float(body.get("duration_sec", 3.0)))
+        res = self.s2s(
+            zq, body["prompt"], body.get("negative_prompt", ""),
+            batchsize=1,
+            noising_strength=float(body.get("noising_strength", 0.7)),
+            steps=int(body.get("steps", 20)),
+            cfg=float(body.get("cfg", 6.0)),
+            seed=int(body.get("seed", 0)),
+        )
+        return {"audio_b64": _wav_b64(res.audio[0], res.sample_rate),
+                "sample_rate": res.sample_rate}
+
+    def render_track(self, body: Dict) -> Dict:
+        from diffusynth_tpu.midi import MidiFile
+
+        if self._instruments is None:
+            from diffusynth_tpu.ui.presets import load_presets
+
+            self._instruments, _ = load_presets(self.runtime)
+        name = body.get("instrument", "preset_organ")
+        inst = self._instruments[name]
+        cfg = InstrumentConfig(
+            latent=inst["latent_representation"],
+            sample_steps=int(body.get("sample_steps", 10)),
+        )
+        mid = MidiFile.from_bytes(base64.b64decode(body["midi_b64"]))
+        audio = self.track.render(
+            mid, {name: cfg}, [name] * len(mid.tracks),
+            max_notes=int(body.get("max_notes", 100)),
+        )
+        peak = np.abs(audio).max()
+        if peak > 0:
+            audio = audio / peak
+        sr = self.runtime.config.audio.sample_rate
+        return {"audio_b64": _wav_b64(audio, sr), "sample_rate": sr,
+                "duration_sec": len(audio) / sr}
+
+    def warmup(self, body: Dict) -> Dict:
+        """Precompile programs for the given width buckets."""
+        widths = body.get("widths", [64])
+        steps = int(body.get("steps", 20))
+        cfg = float(body.get("cfg", 6.0))
+        compiled = []
+        for w in widths:
+            self._run_text2sound_batch(
+                (int(w), steps, cfg, "", "ddim"),
+                [{"prompt": "warmup", "seed": 0}],
+            )
+            compiled.append(int(w))
+        return {"compiled_widths": compiled}
+
+    def health(self) -> Dict:
+        return {
+            "status": "ok",
+            "backend": jax.default_backend(),
+            "batches_run": self.batcher.batches_run,
+            "requests_served": self.batcher.requests_served,
+        }
+
+
+def make_server(host: str = "127.0.0.1", port: int = 8600,
+                runtime: Optional[DiffuSynthRuntime] = None,
+                **kwargs) -> ThreadingHTTPServer:
+    app = DiffuSynthServer(runtime=runtime, **kwargs)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: Dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, app.health())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            routes = {
+                "/v1/text2sound": app.text2sound,
+                "/v1/sound2sound": app.sound2sound,
+                "/v1/track": app.render_track,
+                "/v1/warmup": app.warmup,
+            }
+            fn = routes.get(self.path)
+            if fn is None:
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                self._send(200, fn(body))
+            except (KeyError, ValueError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+            except Exception as e:  # noqa: BLE001 - surface to client
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet access log
+            print(f"[serve] {self.address_string()} {fmt % args}",
+                  file=sys.stderr)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.app = app  # type: ignore[attr-defined]
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8600)
+    parser.add_argument("--max-batch", type=int, default=16)
+    parser.add_argument("--window-ms", type=float, default=30.0)
+    args = parser.parse_args(argv)
+    server = make_server(args.host, args.port, max_batch=args.max_batch,
+                         window_ms=args.window_ms)
+    print(f"DiffuSynth-TPU serving on http://{args.host}:{args.port}",
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Serving layer: micro-batcher semantics + HTTP server end to end (tiny
+model, real sockets)."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from diffusynth_tpu.pipelines import DiffuSynthRuntime
+from diffusynth_tpu.serving import MicroBatcher, make_server
+from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
+from tests.test_pipelines import tiny_config
+
+
+class TestMicroBatcher:
+    def test_coalesces_same_signature(self):
+        calls = []
+
+        def run_batch(sig, payloads):
+            calls.append((sig, list(payloads)))
+            time.sleep(0.05)
+            return [p * 10 for p in payloads]
+
+        b = MicroBatcher(run_batch, max_batch=8, window_ms=100)
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = b.submit(("w64",), i)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.stop()
+        assert sorted(results) == [0, 10, 20, 30]
+        # All four coalesced into at most 2 batches (typically 1).
+        assert len(calls) <= 2
+        assert sum(len(c[1]) for c in calls) == 4
+
+    def test_different_signatures_not_merged(self):
+        def run_batch(sig, payloads):
+            assert len(set(payloads)) == len(payloads)
+            return [(sig, p) for p in payloads]
+
+        b = MicroBatcher(run_batch, max_batch=8, window_ms=20)
+        r1 = b.submit(("a",), 1)
+        r2 = b.submit(("b",), 2)
+        b.stop()
+        assert r1 == (("a",), 1)
+        assert r2 == (("b",), 2)
+
+    def test_error_propagates(self):
+        def run_batch(sig, payloads):
+            raise RuntimeError("boom")
+
+        b = MicroBatcher(run_batch, window_ms=10)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit(("x",), 1)
+        b.stop()
+
+
+@pytest.fixture(scope="module")
+def server():
+    runtime = DiffuSynthRuntime(
+        tiny_config(), text_encoder=CachedTextEncoder(HashTextEncoder(16)))
+    srv = make_server("127.0.0.1", 0, runtime=runtime, window_ms=20)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+class TestHTTPServer:
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/health", timeout=30) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok"
+
+    def test_text2sound_endpoint(self, server):
+        status, body = _post(server, "/v1/text2sound", {
+            "prompt": "a tiny organ", "duration_sec": 1.0, "steps": 3,
+            "cfg": 1.0, "seed": 4,
+        })
+        assert status == 200
+        wav = base64.b64decode(body["audio_b64"])
+        from scipy.io import wavfile
+
+        sr, audio = wavfile.read(io.BytesIO(wav))
+        assert sr == body["sample_rate"]
+        assert len(audio) > 1000
+        assert np.isfinite(audio).all()
+
+    def test_concurrent_requests_batch(self, server):
+        results = [None] * 3
+
+        def call(i):
+            results[i] = _post(server, "/v1/text2sound", {
+                "prompt": f"sound {i}", "duration_sec": 1.0, "steps": 3,
+                "cfg": 1.0, "seed": i,
+            })
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, body in results:
+            assert status == 200
+        # At least one response should report a merged batch.
+        assert max(b["batch_size_executed"] for _, b in results) >= 2
+
+    def test_track_endpoint(self, server, tmp_path):
+        from diffusynth_tpu.midi.parser import write_midi
+
+        path = str(tmp_path / "t.mid")
+        write_midi(path, [(52, 100, 0, 2880), (59, 100, 2880, 2880)])
+        status, body = _post(server, "/v1/track", {
+            "midi_b64": base64.b64encode(open(path, "rb").read()).decode(),
+            "instrument": "preset_organ", "sample_steps": 3, "max_notes": 4,
+        })
+        assert status == 200
+        assert body["duration_sec"] > 5
+
+    def test_bad_request(self, server):
+        try:
+            _post(server, "/v1/text2sound", {"no_prompt": True})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 500)
+
+    def test_unknown_route(self, server):
+        try:
+            _post(server, "/v1/nope", {})
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
