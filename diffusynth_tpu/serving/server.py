@@ -258,6 +258,8 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--window-ms", type=float, default=30.0)
     args = parser.parse_args(argv)
+    print("initializing models (first TPU compile takes minutes)...",
+          flush=True)
     server = make_server(args.host, args.port, max_batch=args.max_batch,
                          window_ms=args.window_ms)
     print(f"DiffuSynth-TPU serving on http://{args.host}:{args.port}",
