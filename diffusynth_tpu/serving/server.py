@@ -82,19 +82,31 @@ class DiffuSynthServer:
                 self._samplers[key] = s
             return self._samplers[key]
 
+    @staticmethod
+    def _pad_batch(n: int) -> int:
+        """Round the merged batch up to a fixed size bucket so every batch
+        size reuses a compiled program (a fresh size = a multi-minute
+        recompile through the remote compiler)."""
+        for b in (1, 2, 4, 8, 16):
+            if n <= b:
+                return b
+        return n
+
     def _run_text2sound_batch(self, signature: Tuple, payloads: List[Dict]):
         width, steps, cfg, negative_prompt, sampler_name = signature
         rt = self.runtime
         a = rt.config.audio
-        B = len(payloads)
+        n = len(payloads)
+        B = self._pad_batch(n)
+        padded = list(payloads) + [payloads[-1]] * (B - n)
         d = rt.config.diffusion
 
-        cond = jnp.asarray(rt.encode_text([p["prompt"] for p in payloads]))
+        cond = jnp.asarray(rt.encode_text([p["prompt"] for p in padded]))
         # Per-request deterministic noise templates from per-request seeds.
         templates = [
             jax.random.normal(jax.random.key(int(p.get("seed", 0))),
                               (1, d.height, d.train_width, d.channels))
-            for p in payloads
+            for p in padded
         ]
         template = jnp.concatenate(templates, axis=0)
 
@@ -109,7 +121,7 @@ class DiffuSynthServer:
             {"audio_b64": _wav_b64(audio[i], a.sample_rate),
              "sample_rate": a.sample_rate,
              "batch_size_executed": B}
-            for i in range(B)
+            for i in range(n)
         ]
 
     # -- request handlers ------------------------------------------------------

@@ -137,6 +137,15 @@ class TestHTTPServer:
         assert status == 200
         assert body["duration_sec"] > 5
 
+    def test_batch_padding_buckets(self, server):
+        """3 concurrent requests pad to the 4-bucket (stable program sizes)."""
+        from diffusynth_tpu.serving.server import DiffuSynthServer
+
+        assert DiffuSynthServer._pad_batch(1) == 1
+        assert DiffuSynthServer._pad_batch(3) == 4
+        assert DiffuSynthServer._pad_batch(9) == 16
+        assert DiffuSynthServer._pad_batch(17) == 17
+
     def test_bad_request(self, server):
         try:
             _post(server, "/v1/text2sound", {"no_prompt": True})
