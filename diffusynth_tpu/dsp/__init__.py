@@ -16,7 +16,11 @@ from diffusynth_tpu.dsp.stft import (
     num_frames,
 )
 from diffusynth_tpu.dsp.codec import encode_stft, decode_stft
-from diffusynth_tpu.dsp.griffin_lim import griffin_lim
+from diffusynth_tpu.dsp.griffin_lim import (
+    amp_to_audio,
+    griffin_lim,
+    nn_data_to_audio,
+)
 from diffusynth_tpu.dsp.resample import resample, adjust_audio_length
 from diffusynth_tpu.dsp.pitch import phase_vocoder, time_stretch, pitch_shift
 from diffusynth_tpu.dsp.envelope import adsr_envelope, rms_normalize

@@ -70,3 +70,23 @@ def griffin_lim(
         win_length=win_length,
         length=length,
     )
+
+
+def amp_to_audio(amp, key, n_iter: int = 50, hop_length: int = 256,
+                 win_length: int = 1024):
+    """Griffin-Lim from a magnitude spectrum (reference: tools.py:220-223)."""
+    return griffin_lim(amp, key, n_iter=n_iter, hop_length=hop_length,
+                       win_length=win_length)
+
+
+def nn_data_to_audio(spectrogram_batch, key, n_iter: int = 32,
+                     hop_length: int = 256, win_length: int = 1024):
+    """Batch of magnitude spectrograms (B, F, T) -> waveforms via
+    Griffin-Lim, with the zero DC row restored (reference:
+    tools.py:194-217; the deprecated VAE_out_put_to_spc rescale is the
+    caller's concern)."""
+    import jax.numpy as jnp
+
+    padded = jnp.pad(spectrogram_batch, ((0, 0), (1, 0), (0, 0)))
+    return griffin_lim(padded, key, n_iter=n_iter, hop_length=hop_length,
+                       win_length=win_length)

@@ -51,3 +51,17 @@ def resize_image_to_aspect_ratio(
     if image.ndim == 3:
         pads.append((0, 0))
     return np.pad(image, pads)
+
+
+def feature_map_images(z_e: np.ndarray, z_q: np.ndarray,
+                       channel_indices=(0, 3)) -> List[np.ndarray]:
+    """Encoder-output vs quantized feature maps as uint8 images, one pair
+    per channel (the reference's visualize_feature_maps without matplotlib;
+    reference: tools.py:92-123). z_e/z_q: (H, W, C) latents."""
+    images = []
+    for c in channel_indices:
+        for z in (z_e, z_q):
+            m = np.asarray(z[..., c], dtype=np.float32)
+            lo, hi = m.min(), m.max()
+            images.append(((m - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8))
+    return images
