@@ -1,5 +1,9 @@
 """Evaluation-loop tests (tiny models, synthetic data)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import numpy as np
 

@@ -1,6 +1,10 @@
 """Checkpoint round trip: save converted-style variables, reload via
 DiffuSynthRuntime.from_pretrained, outputs must match exactly."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

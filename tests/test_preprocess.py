@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffusynth_tpu.native import write_wav
 from diffusynth_tpu.pipelines import DiffuSynthRuntime
 from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder

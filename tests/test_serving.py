@@ -11,6 +11,8 @@ import urllib.request
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffusynth_tpu.pipelines import DiffuSynthRuntime
 from diffusynth_tpu.serving import MicroBatcher, make_server
 from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder

@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffusynth_tpu.parallel.mesh import make_mesh
 from diffusynth_tpu.pipelines import DiffuSynthRuntime, Text2SoundPipeline
 from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffusynth_tpu.midi import MidiFile
 from diffusynth_tpu.pipelines import DiffuSynthRuntime
 from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
