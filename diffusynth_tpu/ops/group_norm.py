@@ -93,10 +93,9 @@ def _forward(x, scale, bias, eps):
         out_specs=pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, hw, C), x.dtype),
-        # In-place normalize + a raised VMEM budget: the biggest U-Net
-        # blocks ((8192, 192) bf16, lane-padded to 256 = 4MB) need ~24MB
-        # with Mosaic's double-buffered in+out windows.
-        input_output_aliases={0: 0},
+        # NO input_output_aliases: aliasing measured 2x slower (in-place
+        # writes serialize against the next block's prefetch;
+        # benchmarks/micro_gn.py: 1.27 vs 0.65 ms at (2048, 384) B=128).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -119,12 +118,12 @@ def _bwd(eps, residuals, g):
 fused_group_norm.defvjp(_fwd, _bwd)
 
 
-# Measured on v5e (bf16, B=128): the fused kernel wins on SMALL blocks
-# (bottleneck norms, e.g. (16x8, 384): 1.5 vs 2.0 ms) where grid overhead is
-# amortized, and loses on LARGE blocks ((128x64, 192): 5.5 vs 2.6 ms) where
-# the per-batch serial grid can't match XLA's pipelined reduce. Dispatch
-# fused only below this per-sample size.
-_MAX_FUSED_BYTES = 256 * 1024
+# Measured on v5e (bf16, B=128, xplane device time; benchmarks/micro_gn.py):
+# Pallas DMA collapses to ~178 GB/s when the lane (channel) dim is not a
+# multiple of 128 (vs ~657 GB/s aligned), so the fused kernel only wins with
+# C % 128 == 0 — 0.61 vs 0.88 ms at (2048, 384). Misaligned or oversized
+# blocks take the XLA reference.
+_MAX_FUSED_BYTES = 8 * 1024 * 1024
 
 
 def group_norm_auto(x, scale, bias, eps: float = 1e-5,
@@ -134,7 +133,7 @@ def group_norm_auto(x, scale, bias, eps: float = 1e-5,
         per_sample = int(np.prod(x.shape[1:])) * x.dtype.itemsize
         use_pallas = (
             jax.default_backend() == "tpu"
-            and x.shape[-1] % 8 == 0     # lane-dim friendliness (96/192/384)
+            and x.shape[-1] % 128 == 0   # lane alignment (see above)
             and per_sample <= _MAX_FUSED_BYTES
         )
     if use_pallas:
