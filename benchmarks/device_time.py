@@ -33,24 +33,23 @@ def _load_xplanes(log_dir: str):
 
 
 def _device_busy_ns(planes) -> Tuple[float, Dict[str, float]]:
-    """Total busy nanoseconds on TPU device planes (the busiest line per
-    plane — the XLA ops line) plus a per-op-name breakdown over all lines."""
+    """Total busy nanoseconds on TPU device planes (the 'XLA Modules' line —
+    one event per executed program) plus a per-op breakdown from the
+    'XLA Ops' line (async-copy lines overlap compute and would overcount)."""
     total = 0.0
     by_op: Dict[str, float] = {}
     for plane in planes:
         name = plane.name
         if not ("/device:TPU" in name or name.startswith("TPU")):
             continue
-        best_line = 0.0
         for line in plane.lines:
-            lsum = 0.0
-            for ev in line.events:
-                dur = ev.duration_ps / 1e3  # ps -> ns
-                lsum += dur
-                opname = plane.event_names.get(ev.metadata_id, "?")
-                by_op[opname] = by_op.get(opname, 0.0) + dur
-            best_line = max(best_line, lsum)
-        total += best_line
+            if line.name == "XLA Modules":
+                total += sum(ev.duration_ps for ev in line.events) / 1e3
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    opname = plane.event_names.get(ev.metadata_id, "?")
+                    by_op[opname] = by_op.get(opname, 0.0) \
+                        + ev.duration_ps / 1e3
     return total, by_op
 
 
@@ -80,7 +79,7 @@ def device_time_ms(fn: Callable[[], object], iters: int = 10,
     ms = total_ns / 1e6 / iters
     if breakdown:
         top = sorted(by_op.items(), key=lambda kv: -kv[1])
-        return ms, [(k, v / 1e6 / iters) for k, v in top[:25]]
+        return ms, [(k, v / 1e6 / iters) for k, v in top]
     return ms
 
 

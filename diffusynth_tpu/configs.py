@@ -101,6 +101,9 @@ class UNetConfig(_JsonMixin):
     n_label_class: int = 11
     condition_type: str = "natural_language_prompt"
     label_emb_dim: int = 512
+    # Fused Pallas block/attention kernels: None = auto (TPU, where shapes
+    # qualify), False = force the XLA formulation. See ops/fused_block.py.
+    fused_kernels: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(self, "down_dims", tuple(self.down_dims))

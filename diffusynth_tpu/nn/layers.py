@@ -70,6 +70,37 @@ class FusedGroupNorm(nn.Module):
         return group_norm_auto(x, scale, bias, self.epsilon)
 
 
+class ConvParams(nn.Module):
+    """Declares nn.Conv/nn.Dense-compatible params (kernel [+ bias]) without
+    computing — identical names, shapes, and initializers (lecun_normal /
+    zeros), so checkpoints and the torch converter see no difference. Used
+    by the fused-kernel paths that consume raw weights."""
+
+    kshape: Sequence[int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            tuple(self.kshape))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.kshape[-1],))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class GNParams(nn.Module):
+    """Declares nn.GroupNorm-compatible params (scale/bias) without
+    computing (see ConvParams)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 def conv2d(features: int, kernel_size: int, stride: int = 1, padding: int = 0,
            use_bias: bool = True, feature_group_count: int = 1, dtype=None,
            name: Optional[str] = None) -> nn.Conv:
@@ -267,36 +298,59 @@ class ConvNextBlock(nn.Module):
 
     Names mirror the torch Sequential indices: net_0/net_3 are the
     GroupNorms, net_1/net_4 the convs, mlp_1 the time Linear.
+
+    The post-depthwise body runs through ops/fused_block.py::convnext_body —
+    a single Pallas kernel on TPU when shapes qualify (the whole
+    GN->conv->GELU->GN->conv->residual chain in one VMEM residency; 3.2-5.1x
+    measured vs XLA at the U-Net's inner levels, benchmarks/micro_convnext),
+    and an equivalent XLA formulation otherwise. use_fused forces the
+    dispatch (None = auto). real_c/real_d give the real channel counts when
+    the caller runs with zero-padded channel lanes (GN statistics then
+    count only real elements).
     """
 
     dim_out: int
     mult: int = 2
     norm: bool = True
     dtype: Optional[Dtype] = None
+    use_fused: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, real_c: Optional[int] = None,
+                 real_d: Optional[int] = None):
+        from diffusynth_tpu.ops.fused_block import convnext_body
+
         dim = x.shape[-1]
+        hidden = self.dim_out * self.mult
+        H, W = x.shape[1], x.shape[2]
         h = conv2d(dim, 7, padding=3, feature_group_count=dim,
                    dtype=self.dtype, name="ds_conv")(x)
 
         if time_emb is not None:
             t = nn.Dense(dim, dtype=self.dtype, name="mlp_1")(
                 jax.nn.gelu(time_emb))
-            h = h + t[:, None, None, :]
+        else:
+            t = None
 
         if self.norm:
-            h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="net_0")(h)
-        h = conv2d(self.dim_out * self.mult, 3, padding=1, dtype=self.dtype,
-                   name="net_1")(h)
-        h = jax.nn.gelu(h)
-        h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="net_3")(h)
-        h = conv2d(self.dim_out, 3, padding=1, dtype=self.dtype,
-                   name="net_4")(h)
-
+            g1s, g1b = GNParams(dim, name="net_0")()
+        else:
+            g1s = jnp.ones((dim,), jnp.float32)
+            g1b = jnp.zeros((dim,), jnp.float32)
+        w1, b1 = ConvParams((3, 3, dim, hidden), name="net_1")()
+        g2s, g2b = GNParams(hidden, name="net_3")()
+        w2, b2 = ConvParams((3, 3, hidden, self.dim_out), name="net_4")()
         if dim != self.dim_out:
-            x = conv2d(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
-        return h + x
+            wres, bres = ConvParams((1, 1, dim, self.dim_out),
+                                    name="res_conv")()
+        else:
+            wres = bres = None
+
+        n1 = H * W * (real_c if real_c is not None else dim)
+        n2 = H * W * (real_d if real_d is not None else hidden)
+        return convnext_body(
+            h, t, x, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+            norm=self.norm, n1=n1, n2=n2, use_pallas=self.use_fused)
 
 
 class LinearCrossAttention(nn.Module):

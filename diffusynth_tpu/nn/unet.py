@@ -34,26 +34,84 @@ from diffusynth_tpu.nn.layers import (
 Dtype = Any
 
 
+class _LinearAddParams(nn.Module):
+    """Declares LinearCrossAttentionAdd's params (same names/shapes/inits)
+    without computing — the fused attention-site kernel consumes the raw
+    weights. Param tree is identical to the module path, so checkpoints and
+    the torch converter are unaffected."""
+
+    channels: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, condition_dim: Optional[int] = None):
+        from diffusynth_tpu.nn.layers import ConvParams, GNParams
+
+        wqkv, _ = ConvParams((1, 1, self.channels, 3 * self.hidden),
+                             use_bias=False, name="to_qkv")()
+        if condition_dim is not None:
+            wlk, blk = ConvParams((condition_dim, self.hidden),
+                                  name="label_key")()
+            wlq, blq = ConvParams((condition_dim, self.hidden),
+                                  name="label_query")()
+        else:
+            wlk = blk = wlq = blq = None
+        wout, bout = ConvParams((1, 1, self.hidden, self.channels),
+                                name="to_out_0")()
+        g2s, g2b = GNParams(self.channels, name="to_out_1")()
+        return wqkv, wlk, blk, wlq, blq, wout, bout, g2s, g2b
+
+
 class _Attn(nn.Module):
     """Residual(PreNorm(linear cross-attention)) as used at every U-Net
     attention site (reference: diffusion.py:122,124,143,158,163,167).
-    Inner names: "norm" (PreNorm GN) and "fn" (the attention)."""
+    Inner names: "norm" (PreNorm GN) and "fn" (the attention).
+
+    The production "linear_add" variant runs through
+    ops/attention_site.py::attention_site — one fused Pallas kernel for the
+    whole site on TPU when shapes qualify (two HBM passes instead of ~10);
+    "linear_cat" keeps the module path. real_c: real channel count under
+    zero-padded channel lanes."""
 
     attn_type: str
     dtype: Optional[Dtype] = None
+    use_fused: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, condition=None):
-        from diffusynth_tpu.nn.layers import FusedGroupNorm
+    def __call__(self, x, condition=None, real_c: Optional[int] = None):
+        from diffusynth_tpu.nn.layers import FusedGroupNorm, GNParams
 
-        h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if self.attn_type == "linear_cat":
+            h = FusedGroupNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
             h = LinearCrossAttention(dtype=self.dtype, name="fn")(h, condition)
-        elif self.attn_type == "linear_add":
-            h = LinearCrossAttentionAdd(dtype=self.dtype, name="fn")(h, condition)
-        else:
+            return h + x
+        if self.attn_type != "linear_add":
             raise NotImplementedError(self.attn_type)
-        return h + x
+
+        from diffusynth_tpu.ops.attention_site import attention_site
+
+        heads, dim_head = 4, 32
+        F = heads * dim_head
+        B, H, W, C = x.shape
+        gpre_s, gpre_b = GNParams(C, name="norm")()
+        cond_dim = condition.shape[-1] if condition is not None else None
+        (wqkv, wlk, blk, wlq, blq, wout, bout, g2s, g2b) = _LinearAddParams(
+            C, F, name="fn")(cond_dim)
+
+        xc = x.astype(self.dtype) if self.dtype is not None else x
+        if condition is not None:
+            cnd = (condition.astype(self.dtype)
+                   if self.dtype is not None else condition)
+            lk = cnd @ wlk.astype(cnd.dtype) + blk.astype(cnd.dtype)
+            lq = cnd @ wlq.astype(cnd.dtype) + blq.astype(cnd.dtype)
+            label_kq = jnp.concatenate([lk, lq], axis=-1)
+        else:
+            label_kq = jnp.zeros((B, 2 * F), xc.dtype)
+        n = H * W * (real_c if real_c is not None else C)
+        return attention_site(
+            xc, label_kq, wqkv.reshape(C, 3 * F), wout.reshape(F, C), bout,
+            gpre_s, gpre_b, g2s, g2b, heads=heads, dim_head=dim_head,
+            n=n, use_pallas=self.use_fused)
 
 
 class ConditionedUnet(nn.Module):
@@ -67,7 +125,8 @@ class ConditionedUnet(nn.Module):
         cfg = self.config
         if cfg.use_convnext:
             return ConvNextBlock(
-                dim_out, mult=cfg.convnext_mult, dtype=self.dtype, name=name
+                dim_out, mult=cfg.convnext_mult, dtype=self.dtype,
+                use_fused=cfg.fused_kernels, name=name
             )
         return UNetResnetBlock(
             dim_out, groups=cfg.resnet_block_groups, dtype=self.dtype,
@@ -121,10 +180,12 @@ class ConditionedUnet(nn.Module):
         for i, (_, dim_out) in enumerate(down_in_out):
             x = self._block(dim_out, f"downs_{i}_0")(x, time_emb)
             x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                       name=f"downs_{i}_1")(x, condition_emb)
             h.append(x)
             x = self._block(dim_out, f"downs_{i}_2")(x, time_emb)
             x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                       name=f"downs_{i}_3")(x, condition_emb)
             h.append(x)
             x = conv2d(dim_out, 4, stride=2, padding=1, dtype=self.dtype,
@@ -138,6 +199,7 @@ class ConditionedUnet(nn.Module):
             h.append(x)
         x = self._block(mid_dim, "mid_mid_0")(x, time_emb)
         x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                   name="mid_mid_1")(x, condition_emb)
         x = self._block(mid_dim, "mid_mid_2")(x, time_emb)
         for i in range(cfg.mid_depth - 1):
@@ -150,6 +212,7 @@ class ConditionedUnet(nn.Module):
             x = pad_and_concat(h.pop(), x)
             x = self._block(up_dim_in, f"ups_{i}_0")(x, time_emb)
             x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                       name=f"ups_{i}_1")(x, condition_emb)
             x = conv_transpose2d(up_dim_in, 4, 2, 1, dtype=self.dtype,
                                  name=f"ups_{i}_2")(x)
@@ -157,11 +220,13 @@ class ConditionedUnet(nn.Module):
             x = pad_and_concat(h.pop(), x)
             x = self._block(up_dim_out, f"ups_{i}_3")(x, time_emb)
             x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                       name=f"ups_{i}_4")(x, condition_emb)
 
             x = pad_and_concat(h.pop(), x)
             x = self._block(up_dim_out, f"ups_{i}_5")(x, time_emb)
             x = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
                       name=f"ups_{i}_6")(x, condition_emb)
 
         # Final skip + head (reference: diffusion.py:173-175, 256-257).

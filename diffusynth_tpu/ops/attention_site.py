@@ -1,0 +1,275 @@
+"""Fused U-Net attention site as a single Pallas TPU kernel.
+
+One attention site (reference: diffusion.py:122 et al. + PreNorm/Residual,
+diffusion_components.py:142-152, 252-293) is
+
+    y = x + GN_post(W_out @ linear_attention(GN_pre(x) @ W_qkv + label))
+
+XLA materializes every intermediate (normalized x, qkv, softmaxes, context
+products, projection, post-norm) in HBM. Here the whole site runs per
+sample in VMEM: TWO HBM activation passes (x in, y out) instead of ~10.
+
+The linear attention math matches ops/linear_attention.py::
+linear_attention_blocked exactly: feature-axis softmax on q (with the
+row-global max as the shared stabilizer — exact, since softmax is invariant
+to any per-row constant), sequence-axis softmax on k, full-width (F, F)
+context with the cross-head blocks zeroed by an iota mask, so every matmul
+is a full 128-lane tile.
+
+Channel padding: x may be zero-padded to a 128-multiple lane count; `n`
+gives the real per-sample element count for both GroupNorms (zero lanes
+contribute nothing to the sums; zero gamma/beta keep them zero).
+
+Differentiable via custom_vjp (backward differentiates the reference
+formulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _moments(s1, s2, n: int, eps: float):
+    m = s1 / n
+    var = s2 / n - m * m
+    return m, jax.lax.rsqrt(var + eps)
+
+
+def _sum_and_sumsq_bf16(x, chunk: int = 2048):
+    hw = x.shape[0]
+    s1 = jnp.float32(0.0)
+    s2 = jnp.float32(0.0)
+    for i in range(0, hw, chunk):
+        c = x[i:i + chunk, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(c)
+        s2 = s2 + jnp.sum(c * c)
+    return s1, s2
+
+
+def _attn_site_kernel(
+    x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref,
+    gpre_s_ref, gpre_b_ref, gpost_s_ref, gpost_b_ref,
+    o_ref,
+    *, F: int, dim_head: int, scale: float, eps: float, n: int,
+):
+    HW, C = x_ref.shape[-2], x_ref.shape[-1]
+    xb = x_ref[0]                                    # (HW, C) bf16
+
+    # --- PreNorm (GN groups=1) over the real n elements.
+    s1, s2 = _sum_and_sumsq_bf16(xb)
+    m, inv = _moments(s1, s2, n, eps)
+    gs = gpre_s_ref[0].astype(jnp.float32)
+    gb = gpre_b_ref[0].astype(jnp.float32)
+    a = (gs * inv).astype(xb.dtype)
+    b = (gb - m * inv * gs).astype(xb.dtype)
+    xn = xb * a + b
+
+    # --- qkv projection (1x1 conv, no bias) + label k/q add.
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (HW, 3F) f32
+    lkq = lkq_ref[0, 0].astype(jnp.float32)          # (2F,)
+    q = qkv[:, 0:F] + jnp.broadcast_to(lkq[F:2 * F], (HW, F))
+    k = qkv[:, F:2 * F] + jnp.broadcast_to(lkq[0:F], (HW, F))
+    v = qkv[:, 2 * F:3 * F]
+
+    # --- feature-axis softmax on q per head, shared row-global stabilizer.
+    row_max = jnp.max(q, axis=1, keepdims=True)
+    eq = jnp.exp(q - row_max)
+    # Per-head row sums broadcast across the head's lanes: E @ blockdiag(1).
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0) // dim_head
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1) // dim_head
+    head_block = (lane_r == lane_c).astype(jnp.float32)
+    seg_sum = jax.lax.dot_general(
+        eq, head_block, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qs = eq / seg_sum * scale                        # (HW, F)
+
+    # --- sequence-axis softmax on k (per feature column).
+    col_max = jnp.max(k, axis=0, keepdims=True)
+    ek = jnp.exp(k - col_max)
+    ks = ek / jnp.sum(ek, axis=0, keepdims=True)
+
+    # --- context (F, F), cross-head blocks zeroed; then output.
+    ctx = jax.lax.dot_general(
+        ks.astype(xb.dtype), v.astype(xb.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * head_block
+    attn = jax.lax.dot_general(
+        qs.astype(xb.dtype), ctx.astype(xb.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (HW, F)
+
+    out = jax.lax.dot_general(
+        attn.astype(xb.dtype), wout_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bout_ref[0].astype(jnp.float32)              # (HW, C)
+
+    # --- post GN (to_out_1) + residual.
+    os1 = jnp.sum(out)
+    os2 = jnp.sum(out * out)
+    m2, inv2 = _moments(os1, os2, n, eps)
+    g2s = gpost_s_ref[0].astype(jnp.float32)
+    g2b = gpost_b_ref[0].astype(jnp.float32)
+    y = (out - m2) * (inv2 * g2s) + g2b
+    o_ref[0] = xb + y.astype(xb.dtype)
+
+
+def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
+                    gpost_s, gpost_b, *, heads, dim_head, scale, eps, n,
+                    interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    HW = H * W
+    F = heads * dim_head
+    dtype = x.dtype
+    x2 = x.reshape(B, HW, C)
+
+    const = lambda b: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_site_kernel, F=F, dim_head=dim_head, scale=scale,
+            eps=eps, n=n),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * F), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * F), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        label_kq.reshape(B, 1, 2 * F).astype(dtype),
+        wqkv.astype(dtype),
+        wout.astype(dtype),
+        bout.reshape(1, C).astype(dtype),
+        gpre_s.reshape(1, C).astype(dtype),
+        gpre_b.reshape(1, C).astype(dtype),
+        gpost_s.reshape(1, C).astype(dtype),
+        gpost_b.reshape(1, C).astype(dtype),
+    )
+    return out.reshape(B, H, W, C)
+
+
+def attention_site_reference(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
+                             gpost_s, gpost_b, *, heads: int, dim_head: int,
+                             scale: float, eps: float = 1e-5,
+                             n: Optional[int] = None):
+    """Plain-XLA reference: x + GN(W_out @ blocked_linear_attention(
+    GN(x) @ W_qkv + label))."""
+    from diffusynth_tpu.ops.linear_attention import linear_attention_blocked
+
+    B, H, W, C = x.shape
+    HW = H * W
+    F = heads * dim_head
+    dtype = x.dtype
+    n = n if n is not None else HW * C
+
+    def gn(t, scale_v, bias_v):
+        t32 = t.astype(jnp.float32)
+        s1 = jnp.sum(t32, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(jnp.square(t32), axis=(1, 2), keepdims=True)
+        m = s1 / n
+        var = s2 / n - jnp.square(m)
+        inv = jax.lax.rsqrt(var + eps)
+        return ((t32 - m) * inv * scale_v.astype(jnp.float32)
+                + bias_v.astype(jnp.float32))
+
+    x2 = x.reshape(B, HW, C)
+    xn = gn(x2, gpre_s, gpre_b).astype(dtype)
+    qkv = jnp.einsum("bnc,cf->bnf", xn, wqkv.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    q = qkv[..., 0:F] + label_kq[:, None, F:2 * F].astype(jnp.float32)
+    k = qkv[..., F:2 * F] + label_kq[:, None, 0:F].astype(jnp.float32)
+    v = qkv[..., 2 * F:3 * F]
+    attn = linear_attention_blocked(
+        q.reshape(B, HW, heads, dim_head).astype(dtype),
+        k.reshape(B, HW, heads, dim_head).astype(dtype),
+        v.reshape(B, HW, heads, dim_head).astype(dtype),
+        scale,
+    ).reshape(B, HW, F)
+    out = jnp.einsum("bnf,fc->bnc", attn.astype(dtype), wout.astype(dtype),
+                     preferred_element_type=jnp.float32) \
+        + bout.astype(jnp.float32)
+    y = gn(out, gpost_s, gpost_b)
+    return (x2 + y.astype(dtype)).reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _attention_site_fused(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
+                          gpost_s, gpost_b, heads, dim_head, scale, eps, n):
+    return _pallas_forward(
+        x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps, n=n,
+        interpret=False)
+
+
+def _site_fwd(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
+              gpost_b, heads, dim_head, scale, eps, n):
+    out = _attention_site_fused(x, label_kq, wqkv, wout, bout, gpre_s,
+                                gpre_b, gpost_s, gpost_b, heads, dim_head,
+                                scale, eps, n)
+    return out, (x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
+                 gpost_b)
+
+
+def _site_bwd(heads, dim_head, scale, eps, n, residuals, grad):
+    _, vjp = jax.vjp(
+        lambda *a: attention_site_reference(
+            *a, heads=heads, dim_head=dim_head, scale=scale, eps=eps, n=n),
+        *residuals)
+    return vjp(grad)
+
+
+_attention_site_fused.defvjp(_site_fwd, _site_bwd)
+
+
+def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
+                   gpost_b, *, heads: int = 4, dim_head: int = 32,
+                   scale: Optional[float] = None, eps: float = 1e-5,
+                   n: Optional[int] = None,
+                   use_pallas: Optional[bool] = None):
+    """Fused attention site with dispatch.
+
+    x: (B, H, W, C); label_kq: (B, 2F) — concat(label_k, label_q) from the
+    condition Dense layers (zeros when unconditioned); wqkv: (C, 3F);
+    wout: (F, C); n: real per-sample element count (channel padding).
+    """
+    B, H, W, C = x.shape
+    F = heads * dim_head
+    scale = dim_head ** -0.5 if scale is None else scale
+    n = n if n is not None else H * W * C
+    if use_pallas is None:
+        itemsize = jnp.dtype(x.dtype).itemsize
+        per_sample = H * W * (2 * C + 6 * F) * itemsize
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and C % 128 == 0 and F % 128 == 0
+            and (H * W) % 128 == 0
+            and per_sample <= 64 * 1024 * 1024
+        )
+    if use_pallas:
+        return _attention_site_fused(
+            x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
+            heads, dim_head, scale, eps, n)
+    return attention_site_reference(
+        x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
+        heads=heads, dim_head=dim_head, scale=scale, eps=eps, n=n)

@@ -1,0 +1,351 @@
+"""Fused ConvNeXt block body as a single Pallas TPU kernel.
+
+The sampling step is memory-bound: XLA runs the ConvNeXt block body
+(reference: diffusion_components.py:107-139 — GN -> conv3x3 -> GELU -> GN ->
+conv3x3 -> + residual, after the depthwise 7x7) as ~12 full-activation HBM
+passes, ~60% of device time in GroupNorm statistic/normalize traffic
+(benchmarks/RESULTS_r1.md). This kernel holds one sample's activations
+resident in VMEM and does the whole post-depthwise body with THREE HBM
+activation passes: read h, read residual, write y. GroupNorm statistics
+become free in-VMEM reductions; the two 3x3 convolutions run as 9 shifted
+MXU matmuls over a zero-padded flattened (H*W, C) buffer with width-edge
+masks.
+
+Channel padding: Pallas block DMA needs lane dims that are multiples of 128
+(benchmarks/micro_copy.py: 178 vs 657 GB/s), but the model's channel counts
+are 96/192/384. Callers therefore run the hot path with channels
+zero-padded to 128 multiples at rest; the kernel takes `n1`/`n2` — the REAL
+element counts — so GN statistics are exact (zero lanes contribute nothing
+to the sums, and zero gamma/beta keep them zero through the normalize).
+
+Differentiable via custom_vjp (backward differentiates the identical
+reference formulation); the fused forward is inference-oriented.
+
+Numerics match nn/layers.py::ConvNextBlock in structure: f32 GN statistics,
+tanh-approximate GELU, bf16 matmul inputs with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _sum_and_sumsq_bf16(x, chunk: int = 2048):
+    """f32 (sum, sumsq) of a 2D bf16 block without a full f32 copy."""
+    hw = x.shape[0]
+    s1 = jnp.float32(0.0)
+    s2 = jnp.float32(0.0)
+    for i in range(0, hw, chunk):
+        c = x[i:i + chunk, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(c)
+        s2 = s2 + jnp.sum(c * c)
+    return s1, s2
+
+
+def _moments(s1, s2, n: int, eps: float):
+    m = s1 / n
+    var = s2 / n - m * m
+    return m, jax.lax.rsqrt(var + eps)
+
+
+def _convnext_kernel(
+    h_ref, t_ref, xres_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
+    g2s_ref, g2b_ref, w2_ref, b2_ref, wres_ref, bres_ref,
+    o_ref, ypad_ref, ypad2_ref,
+    *, H: int, W: int, P: int, eps: float, norm: bool,
+    has_res_conv: bool, n1: int, n2: int,
+):
+    """One batch element: GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3
+    -> + residual. All activations VMEM-resident."""
+    HW = H * W
+    C = h_ref.shape[-1]
+    D = w1_ref.shape[-1]
+
+    x1 = h_ref[0] + jnp.broadcast_to(t_ref[0, 0], (HW, C))  # (HW, C) bf16
+
+    # --- GN1 (free in-VMEM stats over the real n1 elements) + normalize.
+    if norm:
+        s1, s2 = _sum_and_sumsq_bf16(x1)
+        m, inv = _moments(s1, s2, n1, eps)
+        g1s = g1s_ref[0].astype(jnp.float32)
+        g1b = g1b_ref[0].astype(jnp.float32)
+        a = (g1s * inv).astype(x1.dtype)
+        b = (g1b - m * inv * g1s).astype(x1.dtype)
+        y = x1 * a + b
+    else:
+        y = x1
+
+    # Zero-padded flat layout: row n = i*W + j; tap (di, dj) reads row
+    # n + di*W + dj. Out-of-image rows land in the zero pads; width wrap is
+    # masked per-tap.
+    ypad_ref[0:P, :] = jnp.zeros((P, C), y.dtype)
+    ypad_ref[P + HW:, :] = jnp.zeros((P, C), y.dtype)
+    ypad_ref[P:P + HW, :] = y
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
+    mask_l = (j > 0).astype(y.dtype)       # tap needs col j-1 >= 0
+    mask_r = (j < W - 1).astype(y.dtype)   # tap needs col j+1 <= W-1
+
+    def conv3x3(src_ref, w_ref, bias_ref):
+        cin = src_ref.shape[-1]
+        cout = w_ref.shape[-1]
+        acc = jnp.broadcast_to(
+            bias_ref[0].astype(jnp.float32), (HW, cout))
+        for tap in range(9):
+            di, dj = tap // 3 - 1, tap % 3 - 1
+            s = P + di * W + dj
+            xs = src_ref[s:s + HW, :]
+            if dj < 0:
+                xs = xs * mask_l
+            elif dj > 0:
+                xs = xs * mask_r
+            acc = acc + jax.lax.dot_general(
+                xs, w_ref[tap * cin:(tap + 1) * cin, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    # --- conv1 (C -> D) + GELU (f32) + GN2 + normalize.
+    g = jax.nn.gelu(conv3x3(ypad_ref, w1_ref, b1_ref))
+    gs1 = jnp.sum(g)
+    gs2 = jnp.sum(g * g)
+    m2, inv2 = _moments(gs1, gs2, n2, eps)
+    g2s = g2s_ref[0].astype(jnp.float32)
+    g2b = g2b_ref[0].astype(jnp.float32)
+    y2 = ((g - m2) * (inv2 * g2s) + g2b).astype(o_ref.dtype)
+
+    ypad2_ref[0:P, :] = jnp.zeros((P, D), y2.dtype)
+    ypad2_ref[P + HW:, :] = jnp.zeros((P, D), y2.dtype)
+    ypad2_ref[P:P + HW, :] = y2
+
+    # --- conv2 (D -> Co) + residual.
+    acc2 = conv3x3(ypad2_ref, w2_ref, b2_ref)
+    if has_res_conv:
+        res = jax.lax.dot_general(
+            xres_ref[0], wres_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bres_ref[0].astype(jnp.float32)
+    else:
+        res = xres_ref[0].astype(jnp.float32)
+    o_ref[0] = (acc2 + res).astype(o_ref.dtype)
+
+
+def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+                    wres, bres, *, H, W, norm, eps, n1, n2, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, _, _, C = h.shape
+    Cr = xres.shape[-1]
+    D = w1.shape[-1]
+    Co = w2.shape[-1]
+    HW = H * W
+    P = _round_up(W + 1, 16)
+    has_res_conv = wres is not None
+    dtype = h.dtype
+
+    h2 = h.reshape(B, HW, C)
+    xres2 = xres.reshape(B, HW, Cr)
+    w1f = w1.reshape(9 * C, D).astype(dtype)
+    w2f = w2.reshape(9 * D, Co).astype(dtype)
+    if has_res_conv:
+        wresf = wres.reshape(Cr, Co).astype(dtype)
+        bresf = bres.reshape(1, Co).astype(dtype)
+    else:
+        wresf = jnp.zeros((8, 128), dtype)   # static-signature placeholders
+        bresf = jnp.zeros((1, 128), dtype)
+
+    kern = functools.partial(
+        _convnext_kernel, H=H, W=W, P=P, eps=eps, norm=norm,
+        has_res_conv=has_res_conv, n1=n1, n2=n2,
+    )
+    const = lambda b: (0, 0)  # noqa: E731
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, Cr), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * D, Co), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wresf.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wresf.shape[-1]), const,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HW, Co), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, HW, Co), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((HW + 2 * P, C), dtype),
+            pltpu.VMEM((HW + 2 * P, D), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        h2,
+        temb_vec.reshape(B, 1, C).astype(dtype),
+        xres2,
+        g1s.reshape(1, C).astype(dtype), g1b.reshape(1, C).astype(dtype),
+        w1f, b1.reshape(1, D).astype(dtype),
+        g2s.reshape(1, D).astype(dtype), g2b.reshape(1, D).astype(dtype),
+        w2f, b2.reshape(1, Co).astype(dtype),
+        wresf, bresf,
+    )
+    return out.reshape(B, H, W, Co)
+
+
+def convnext_body_reference(
+    h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+    *, norm: bool = True, eps: float = 1e-5,
+    n1: Optional[int] = None, n2: Optional[int] = None,
+):
+    """Plain-XLA reference of the same body. n1/n2 are the real element
+    counts for the two GN sites (defaults: all elements — the unpadded
+    case)."""
+    dtype = h.dtype
+    B, H, W, C = h.shape
+    D = w1.shape[-1]
+    n1 = n1 if n1 is not None else H * W * C
+    n2 = n2 if n2 is not None else H * W * D
+
+    def gn(x, scale, bias, n):
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32, axis=(1, 2, 3), keepdims=True)
+        s2 = jnp.sum(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
+        m = s1 / n
+        var = s2 / n - jnp.square(m)
+        inv = jax.lax.rsqrt(var + eps)
+        return (x32 - m) * inv * scale.astype(jnp.float32) + \
+            bias.astype(jnp.float32)
+
+    def conv(x, w, stride=1, pad=1, groups=1):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (stride, stride),
+            ((pad, pad), (pad, pad)), dimension_numbers=dn,
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+
+    x1 = h + temb_vec[:, None, None, :].astype(dtype)
+    y = gn(x1, g1s, g1b, n1).astype(dtype) if norm else x1
+    g = jax.nn.gelu(conv(y, w1) + b1.astype(jnp.float32))
+    y2 = gn(g, g2s, g2b, n2).astype(dtype)
+    acc2 = conv(y2, w2) + b2.astype(jnp.float32)
+    if wres is not None:
+        res = conv(xres, wres, pad=0) + bres.astype(jnp.float32)
+    else:
+        res = xres.astype(jnp.float32)
+    return (acc2 + res).astype(dtype)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(13, 14, 15, 16, 17, 18),
+)
+def _convnext_body_fused(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b,
+                         w2, b2, wres, bres, H, W, norm, eps, n1, n2):
+    return _pallas_forward(
+        h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+        H=H, W=W, norm=norm, eps=eps, n1=n1, n2=n2, interpret=False,
+    )
+
+
+def _fused_fwd(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+               wres, bres, H, W, norm, eps, n1, n2):
+    out = _convnext_body_fused(
+        h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+        H, W, norm, eps, n1, n2)
+    return out, (h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+                 wres, bres)
+
+
+def _fused_bwd(H, W, norm, eps, n1, n2, residuals, grad):
+    args = residuals
+    has_res = args[11] is not None
+
+    def ref(*a):
+        if has_res:
+            return convnext_body_reference(
+                *a, norm=norm, eps=eps, n1=n1, n2=n2)
+        return convnext_body_reference(
+            *a[:11], None, None, norm=norm, eps=eps, n1=n1, n2=n2)
+
+    if has_res:
+        _, vjp = jax.vjp(ref, *args)
+        return vjp(grad)
+    _, vjp = jax.vjp(ref, *args[:11])
+    return vjp(grad) + (None, None)
+
+
+_convnext_body_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def convnext_body(
+    h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+    *, norm: bool = True, eps: float = 1e-5,
+    n1: Optional[int] = None, n2: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Fused ConvNeXt body with dispatch.
+
+    h (post-depthwise-conv activations), xres (block input / residual):
+    (B, H, W, C) / (B, H, W, Cr); temb_vec: (B, C) or None; w1: (3,3,C,D);
+    w2: (3,3,D,Co); wres: (1,1,Cr,Co) or None (identity residual, Cr==Co).
+    n1/n2: real element counts per sample for the GN sites when channels
+    are zero-padded (see module docstring).
+    """
+    B, H, W, C = h.shape
+    D = w1.shape[-1]
+    Co = w2.shape[-1]
+    n1 = n1 if n1 is not None else H * W * C
+    n2 = n2 if n2 is not None else H * W * D
+    if temb_vec is None:
+        temb_vec = jnp.zeros((B, C), h.dtype)
+    if use_pallas is None:
+        itemsize = jnp.dtype(h.dtype).itemsize
+        per_sample = H * W * (2 * C + 3 * D + 2 * Co) * itemsize
+        # Lane alignment (128) is required only for the per-sample
+        # DMA'd activations (h/xres in, y out); the hidden dim D never
+        # leaves VMEM so it stays at the model's real size — keeping the
+        # effective MXU tile count identical to XLA's (which pads K/N to
+        # 128 internally anyway).
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and C % 128 == 0 and Co % 128 == 0
+            and xres.shape[-1] % 128 == 0
+            and D % 8 == 0
+            and W % 8 == 0 and (H * W) % 128 == 0
+            and per_sample <= 64 * 1024 * 1024
+        )
+    if use_pallas:
+        return _convnext_body_fused(
+            h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+            wres, bres, H, W, norm, eps, n1, n2)
+    return convnext_body_reference(
+        h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+        norm=norm, eps=eps, n1=n1, n2=n2)

@@ -1,0 +1,192 @@
+"""Fused ConvNeXt-block and attention-site Pallas kernels vs references.
+
+Runs the kernels in interpret mode on CPU; TPU perf and numerics are
+covered by benchmarks/micro_convnext.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusynth_tpu.ops.fused_block import (
+    _pallas_forward as convnext_pallas,
+    convnext_body_reference,
+)
+from diffusynth_tpu.ops.attention_site import (
+    _pallas_forward as attn_pallas,
+    attention_site_reference,
+)
+
+
+def _convnext_args(key, B=2, H=16, W=8, C=128, D=192, Co=128):
+    ks = jax.random.split(key, 12)
+    return dict(
+        h=jax.random.normal(ks[0], (B, H, W, C), jnp.float32),
+        t=jax.random.normal(ks[1], (B, C), jnp.float32) * 0.1,
+        xres=jax.random.normal(ks[2], (B, H, W, C), jnp.float32),
+        g1s=jax.random.normal(ks[3], (C,)) * 0.2 + 1.0,
+        g1b=jax.random.normal(ks[4], (C,)) * 0.1,
+        w1=jax.random.normal(ks[5], (3, 3, C, D)) * 0.05,
+        b1=jax.random.normal(ks[6], (D,)) * 0.1,
+        g2s=jax.random.normal(ks[7], (D,)) * 0.2 + 1.0,
+        g2b=jax.random.normal(ks[8], (D,)) * 0.1,
+        w2=jax.random.normal(ks[9], (3, 3, D, Co)) * 0.05,
+        b2=jax.random.normal(ks[10], (Co,)) * 0.1,
+    ), ks[11]
+
+
+class TestConvNextKernel:
+    def test_identity_residual(self):
+        a, _ = _convnext_args(jax.random.PRNGKey(0))
+        args = list(a.values()) + [None, None]
+        ref = convnext_body_reference(*args)
+        got = convnext_pallas(*args, H=16, W=8, norm=True, eps=1e-5,
+                              n1=16 * 8 * 128, n2=16 * 8 * 192,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_conv_residual_and_no_norm(self):
+        a, k = _convnext_args(jax.random.PRNGKey(1))
+        wres = jax.random.normal(k, (1, 1, 128, 128)) * 0.05
+        bres = jnp.full((128,), 0.05)
+        args = list(a.values()) + [wres, bres]
+        for norm in (True, False):
+            ref = convnext_body_reference(*args, norm=norm)
+            got = convnext_pallas(*args, H=16, W=8, norm=norm, eps=1e-5,
+                                  n1=16 * 8 * 128, n2=16 * 8 * 192,
+                                  interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=5e-5, rtol=1e-4)
+
+    def test_padded_channels_match_real(self):
+        """Zero-padded channel lanes + real-n GN == the real-dims body."""
+        a, _ = _convnext_args(jax.random.PRNGKey(2))
+        Cr, Dr = 96, 160   # real sizes inside the 128/192 padded arrays
+        ap = dict(a)
+        for name, ax in [("h", -1), ("t", -1), ("xres", -1), ("g1s", 0),
+                         ("g1b", 0)]:
+            ap[name] = ap[name].at[..., Cr:].set(0.0) if ax == -1 else ap[name]
+        ap["g1s"] = ap["g1s"].at[Cr:].set(0.0)
+        ap["g1b"] = ap["g1b"].at[Cr:].set(0.0)
+        ap["w1"] = ap["w1"].at[:, :, Cr:, :].set(0.0).at[:, :, :, Dr:].set(0.0)
+        ap["b1"] = ap["b1"].at[Dr:].set(0.0)
+        ap["g2s"] = ap["g2s"].at[Dr:].set(0.0)
+        ap["g2b"] = ap["g2b"].at[Dr:].set(0.0)
+        ap["w2"] = ap["w2"].at[:, :, Dr:, :].set(0.0).at[:, :, :, Cr:].set(0.0)
+        ap["b2"] = ap["b2"].at[Cr:].set(0.0)
+
+        ref = convnext_body_reference(
+            ap["h"][..., :Cr], ap["t"][:, :Cr], ap["xres"][..., :Cr],
+            ap["g1s"][:Cr], ap["g1b"][:Cr], ap["w1"][:, :, :Cr, :Dr],
+            ap["b1"][:Dr], ap["g2s"][:Dr], ap["g2b"][:Dr],
+            ap["w2"][:, :, :Dr, :Cr], ap["b2"][:Cr], None, None)
+        got = convnext_pallas(*(list(ap.values()) + [None, None]),
+                              H=16, W=8, norm=True, eps=1e-5,
+                              n1=16 * 8 * Cr, n2=16 * 8 * Dr,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got[..., :Cr]),
+                                   np.asarray(ref), atol=5e-5, rtol=1e-4)
+        assert np.all(np.asarray(got[..., Cr:]) == 0.0)
+
+    def test_gradients_flow(self):
+        """custom_vjp backward (reference-based) is wired for training."""
+        from diffusynth_tpu.ops.fused_block import convnext_body
+
+        a, _ = _convnext_args(jax.random.PRNGKey(3), B=1, H=8, W=8,
+                              C=16, D=24, Co=16)
+
+        def loss(w1):
+            out = convnext_body(
+                a["h"], a["t"], a["xres"], a["g1s"], a["g1b"], w1, a["b1"],
+                a["g2s"], a["g2b"], a["w2"], a["b2"], None, None,
+                use_pallas=False)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(a["w1"])
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestAttentionSiteKernel:
+    def _args(self, key, B=2, H=16, W=8, C=128, F=128):
+        ks = jax.random.split(key, 8)
+        return dict(
+            x=jax.random.normal(ks[0], (B, H, W, C), jnp.float32),
+            label_kq=jax.random.normal(ks[1], (B, 2 * F)) * 0.3,
+            wqkv=jax.random.normal(ks[2], (C, 3 * F)) * 0.05,
+            wout=jax.random.normal(ks[3], (F, C)) * 0.05,
+            bout=jax.random.normal(ks[4], (C,)) * 0.1,
+            gpre_s=jax.random.normal(ks[5], (C,)) * 0.2 + 1.0,
+            gpre_b=jnp.zeros((C,)),
+            gpost_s=jax.random.normal(ks[6], (C,)) * 0.2 + 1.0,
+            gpost_b=jax.random.normal(ks[7], (C,)) * 0.1,
+        )
+
+    @pytest.mark.parametrize("conditioned", [True, False])
+    def test_matches_reference(self, conditioned):
+        a = self._args(jax.random.PRNGKey(0))
+        if not conditioned:
+            a["label_kq"] = jnp.zeros_like(a["label_kq"])
+        kw = dict(heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5,
+                  n=16 * 8 * 128)
+        ref = attention_site_reference(*a.values(), **kw)
+        got = attn_pallas(*a.values(), **kw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_padded_channels_match_real(self):
+        a = self._args(jax.random.PRNGKey(1))
+        Cr = 96
+        a["x"] = a["x"].at[..., Cr:].set(0.0)
+        a["wqkv"] = a["wqkv"].at[Cr:, :].set(0.0)
+        a["wout"] = a["wout"].at[:, Cr:].set(0.0)
+        for nm in ("bout", "gpre_s", "gpre_b", "gpost_s", "gpost_b"):
+            a[nm] = a[nm].at[Cr:].set(0.0)
+        kw = dict(heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5,
+                  n=16 * 8 * Cr)
+        ref = attention_site_reference(
+            a["x"][..., :Cr], a["label_kq"], a["wqkv"][:Cr], a["wout"][:, :Cr],
+            a["bout"][:Cr], a["gpre_s"][:Cr], a["gpre_b"][:Cr],
+            a["gpost_s"][:Cr], a["gpost_b"][:Cr], **kw)
+        got = attn_pallas(*a.values(), **kw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[..., :Cr]),
+                                   np.asarray(ref), atol=5e-5, rtol=1e-4)
+        assert np.all(np.asarray(got[..., Cr:]) == 0.0)
+
+    def test_reference_matches_module_path(self):
+        """attention_site_reference == PreNorm + LinearCrossAttentionAdd
+        + residual (the pre-fusion module math)."""
+        import flax.linen as nn
+
+        from diffusynth_tpu.nn.layers import LinearCrossAttentionAdd
+        from diffusynth_tpu.ops.group_norm import group_norm_reference
+
+        a = self._args(jax.random.PRNGKey(2))
+        B, H, W, C = a["x"].shape
+        F = 128
+        cond = jax.random.normal(jax.random.PRNGKey(3), (B, 64))
+
+        mod = LinearCrossAttentionAdd()
+        variables = mod.init(jax.random.PRNGKey(4), a["x"], cond)
+        p = variables["params"]
+        # Overwrite with the test weights for an exact comparison.
+        p = jax.tree_util.tree_map(lambda v: v, p)
+        p["to_qkv"]["kernel"] = a["wqkv"].reshape(1, 1, C, 3 * F)
+        p["to_out_0"]["kernel"] = a["wout"].reshape(1, 1, F, C)
+        p["to_out_0"]["bias"] = a["bout"]
+        p["to_out_1"]["scale"] = a["gpost_s"]
+        p["to_out_1"]["bias"] = a["gpost_b"]
+
+        xn = group_norm_reference(a["x"], a["gpre_s"], a["gpre_b"], 1e-5)
+        module_out = mod.apply({"params": p}, xn, cond) + a["x"]
+
+        lk = cond @ p["label_key"]["kernel"] + p["label_key"]["bias"]
+        lq = cond @ p["label_query"]["kernel"] + p["label_query"]["bias"]
+        ref = attention_site_reference(
+            a["x"], jnp.concatenate([lk, lq], axis=-1), a["wqkv"], a["wout"],
+            a["bout"], a["gpre_s"], a["gpre_b"], a["gpost_s"], a["gpost_b"],
+            heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5, n=H * W * C)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(module_out),
+                                   atol=5e-5, rtol=1e-4)
