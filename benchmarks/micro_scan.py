@@ -1,0 +1,89 @@
+"""Scanned U-Net step (the sampler's real hot loop): fused vs XLA.
+
+Scans the U-Net forward K times with params as loop invariants — matching
+the jitted sampling scan, where XLA hoists parameter layout conversions out
+of the loop (a standalone forward can't show this). Also prints the top
+copy ops to attribute layout-churn.
+
+Run: cd /root/repo && python -u -m benchmarks.micro_scan
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.device_time import device_time_ms
+from diffusynth_tpu.configs import UNetConfig
+from diffusynth_tpu.nn.unet import ConditionedUnet
+
+K = 5
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    B, H, W = 128, 128, 64
+    cfg = UNetConfig()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, H, W, cfg.in_dim), jnp.bfloat16)
+    t = jnp.full((B,), 500, jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, 512), jnp.bfloat16)
+
+    results = {}
+    for fused in (False, None):
+        c = dataclasses.replace(cfg, fused_kernels=fused)
+        model = ConditionedUnet(c, dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(2),
+                            x[:1], t[:1], cond[:1])["params"]
+
+        def step_scan(p, x0):
+            def body(carry, _):
+                eps = model.apply({"params": p}, carry, t, cond)
+                # feed back (keeps shapes; mimics the DDIM update's reuse)
+                return carry - 0.01 * eps.astype(carry.dtype), ()
+            out, _ = jax.lax.scan(body, x0, None, length=K)
+            return out
+
+        fwd = jax.jit(step_scan)
+        out = fwd(params, x)
+        out.block_until_ready()
+        ms, top = device_time_ms(lambda: fwd(params, x), iters=3,
+                                 breakdown=True)
+        name = "fused-auto" if fused is None else "xla-only"
+        results[name] = (ms / K, np.asarray(out[:2], np.float32))
+        print(f"\n{name}: {ms / K:.2f} ms / step (scan of {K})", flush=True)
+        cats = {}
+        copies = []
+        for opname, t_ms in top:
+            if "custom-call" in opname or "tpu_custom_call" in opname:
+                cat = "pallas"
+            elif "convolution" in opname:
+                cat = "convolution"
+            elif "convert_reduce" in opname or "reduce" in opname:
+                cat = "reduce(GN stats)"
+            elif "copy" in opname:
+                cat = "copy"
+                copies.append((opname, t_ms))
+            elif "fusion" in opname:
+                cat = "fusion(elementwise)"
+            else:
+                cat = "other"
+            cats[cat] = cats.get(cat, 0.0) + t_ms
+        for cat, t_ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+            print(f"   {t_ms / K:8.2f} ms/step  {cat}", flush=True)
+        print("  top copies:", flush=True)
+        for opname, t_ms in copies[:6]:
+            print(f"   {t_ms / K:7.3f} ms  {opname[:115]}", flush=True)
+
+    a = results["xla-only"][1]
+    b = results["fused-auto"][1]
+    print("\nmax |fused - xla|:", np.abs(a - b).max(), flush=True)
+    print(f"speedup: {results['xla-only'][0] / results['fused-auto'][0]:.2f}x",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,8 @@ class _Request:
     event: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[Exception] = None
+    priority: int = 0           # >0: skip the batching window (low latency)
+    enqueued_at: float = field(default_factory=time.monotonic)
 
 
 class MicroBatcher:
@@ -41,10 +43,13 @@ class MicroBatcher:
         self._thread.start()
         self.batches_run = 0
         self.requests_served = 0
+        self.metrics = None  # optional serving.metrics.Metrics
 
-    def submit(self, signature: Tuple, payload: Any, timeout: float = 300.0):
-        """Block until the merged batch containing this request completes."""
-        req = _Request(signature, payload)
+    def submit(self, signature: Tuple, payload: Any, timeout: float = 300.0,
+               priority: int = 0):
+        """Block until the merged batch containing this request completes.
+        priority > 0 skips the batching window (latency over throughput)."""
+        req = _Request(signature, payload, priority=priority)
         self._queue.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -59,7 +64,8 @@ class MicroBatcher:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = time.monotonic() + self.window_s
+            window = 0.0 if first.priority > 0 else self.window_s
+            deadline = time.monotonic() + window
             # Collect same-signature requests inside the window; requeue the
             # rest for the next round.
             requeue = []
@@ -90,6 +96,10 @@ class MicroBatcher:
             finally:
                 self.batches_run += 1
                 self.requests_served += len(batch)
+                if self.metrics is not None:
+                    self.metrics.record_batch(
+                        merged=len(batch), executed=len(batch),
+                        queue_wait_s=time.monotonic() - first.enqueued_at)
                 for req in batch:
                     req.event.set()
 

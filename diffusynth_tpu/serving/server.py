@@ -45,6 +45,7 @@ from diffusynth_tpu.pipelines import (
 )
 from diffusynth_tpu.pipelines.track_render import InstrumentConfig
 from diffusynth_tpu.serving.batcher import MicroBatcher
+from diffusynth_tpu.serving.metrics import Metrics
 
 
 def _wav_b64(audio: np.ndarray, sample_rate: int) -> str:
@@ -65,6 +66,8 @@ class DiffuSynthServer:
         self._lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_text2sound_batch,
                                     max_batch=max_batch, window_ms=window_ms)
+        self.metrics = Metrics()
+        self.batcher.metrics = self.metrics
         self._instruments = None
 
     # -- text2sound batching --------------------------------------------------
@@ -137,7 +140,8 @@ class DiffuSynthServer:
             str(body.get("negative_prompt", "")),
             str(body.get("sampler", "ddim")),
         )
-        return self.batcher.submit(signature, body)
+        return self.batcher.submit(signature, body,
+                                   priority=int(body.get("priority", 0)))
 
     def sound2sound(self, body: Dict) -> Dict:
         from scipy.io import wavfile
@@ -188,18 +192,32 @@ class DiffuSynthServer:
                 "duration_sec": len(audio) / sr}
 
     def warmup(self, body: Dict) -> Dict:
-        """Precompile programs for the given width buckets."""
+        """Precompile programs for the given width buckets and batch-size
+        buckets (a fresh merged-batch size is otherwise a multi-minute
+        recompile through the remote compiler)."""
         widths = body.get("widths", [64])
         steps = int(body.get("steps", 20))
         cfg = float(body.get("cfg", 6.0))
+        batch_sizes = [int(b) for b in body.get("batch_sizes", [1])]
         compiled = []
         for w in widths:
-            self._run_text2sound_batch(
-                (int(w), steps, cfg, "", "ddim"),
-                [{"prompt": "warmup", "seed": 0}],
-            )
-            compiled.append(int(w))
-        return {"compiled_widths": compiled}
+            for b in batch_sizes:
+                self._run_text2sound_batch(
+                    (int(w), steps, cfg, "", "ddim"),
+                    [{"prompt": "warmup", "seed": i} for i in range(b)],
+                )
+                compiled.append({"width": int(w), "batch": b})
+        return {"compiled": compiled}
+
+    def warmup_from_manifest(self, path: str) -> None:
+        """Precompile every entry of a JSON warmup manifest at startup:
+        [{"widths": [64, 96], "steps": 20, "cfg": 6.0,
+          "batch_sizes": [1, 4]}, ...]."""
+        with open(path) as f:
+            entries = json.load(f)
+        for entry in entries:
+            print(f"[serve] warmup {entry}", flush=True)
+            self.warmup(entry)
 
     def health(self) -> Dict:
         return {
@@ -208,6 +226,13 @@ class DiffuSynthServer:
             "batches_run": self.batcher.batches_run,
             "requests_served": self.batcher.requests_served,
         }
+
+    def metrics_snapshot(self) -> Dict:
+        snap = self.metrics.snapshot()
+        snap["batches_run"] = self.batcher.batches_run
+        snap["requests_served"] = self.batcher.requests_served
+        snap["compiled_samplers"] = len(self._samplers)
+        return snap
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8600,
@@ -227,6 +252,8 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, app.health())
+            elif self.path == "/v1/metrics":
+                self._send(200, app.metrics_snapshot())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -248,7 +275,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
                 self._send(404, {"error": "not found"})
                 return
             try:
-                self._send(200, fn(body))
+                with app.metrics.time_endpoint(self.path):
+                    result = fn(body)
+                self._send(200, result)
             except (KeyError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
             except Exception as e:  # noqa: BLE001 - surface to client
@@ -269,11 +298,16 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8600)
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--window-ms", type=float, default=30.0)
+    parser.add_argument("--warmup-manifest", default=None,
+                        help="JSON manifest of programs to precompile at "
+                             "startup (see warmup_from_manifest)")
     args = parser.parse_args(argv)
     print("initializing models (first TPU compile takes minutes)...",
           flush=True)
     server = make_server(args.host, args.port, max_batch=args.max_batch,
                          window_ms=args.window_ms)
+    if args.warmup_manifest:
+        server.app.warmup_from_manifest(args.warmup_manifest)
     print(f"DiffuSynth-TPU serving on http://{args.host}:{args.port}",
           flush=True)
     server.serve_forever()

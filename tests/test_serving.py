@@ -161,3 +161,41 @@ class TestHTTPServer:
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+class TestServingHardening:
+    def test_priority_skips_window(self):
+        """priority>0 requests execute without waiting out the window."""
+        def run_batch(sig, payloads):
+            return list(payloads)
+
+        b = MicroBatcher(run_batch, max_batch=8, window_ms=5000)
+        t0 = time.monotonic()
+        b.submit(("w",), 1, priority=1)
+        assert time.monotonic() - t0 < 2.0
+        b.stop()
+
+    def test_metrics_endpoint(self, server):
+        _post(server, "/v1/text2sound", {
+            "prompt": "metric probe", "duration_sec": 1.0, "steps": 2,
+            "cfg": 1.0, "seed": 0})
+        with urllib.request.urlopen(server + "/v1/metrics",
+                                    timeout=30) as resp:
+            body = json.loads(resp.read())
+        assert body["requests_served"] >= 1
+        assert "/v1/text2sound" in body["endpoints"]
+        ep = body["endpoints"]["/v1/text2sound"]
+        assert ep["count"] >= 1 and ep["p50_s"] > 0
+        assert sum(body["batch_size_histogram"].values()) >= 1
+        assert body["batch_queue_wait"]["count"] >= 1
+
+    def test_warmup_manifest(self, server, tmp_path):
+        manifest = tmp_path / "warm.json"
+        manifest.write_text(json.dumps(
+            [{"widths": [16], "steps": 2, "cfg": 1.0, "batch_sizes": [1]}]))
+        # Exercise via the endpoint (same code path as --warmup-manifest).
+        status, body = _post(server, "/v1/warmup", {
+            "widths": [16], "steps": 2, "cfg": 1.0, "batch_sizes": [1, 2]})
+        assert status == 200
+        assert {"width": 16, "batch": 1} in body["compiled"]
+        assert {"width": 16, "batch": 2} in body["compiled"]
