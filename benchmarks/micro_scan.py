@@ -33,8 +33,13 @@ def main():
     cond = jax.random.normal(jax.random.PRNGKey(1), (B, 512), jnp.bfloat16)
 
     results = {}
-    for fused in (False, None):
-        c = dataclasses.replace(cfg, fused_kernels=fused)
+    variants = [
+        ("xla-only", dict(fused_kernels=False, channel_pad=False)),
+        ("fused", dict(fused_kernels=None, channel_pad=False)),
+        ("chain", dict(fused_kernels=None, channel_pad=True)),
+    ]
+    for name, overrides in variants:
+        c = dataclasses.replace(cfg, **overrides)
         model = ConditionedUnet(c, dtype=jnp.bfloat16)
         params = model.init(jax.random.PRNGKey(2),
                             x[:1], t[:1], cond[:1])["params"]
@@ -52,37 +57,34 @@ def main():
         out.block_until_ready()
         ms, top = device_time_ms(lambda: fwd(params, x), iters=3,
                                  breakdown=True)
-        name = "fused-auto" if fused is None else "xla-only"
         results[name] = (ms / K, np.asarray(out[:2], np.float32))
         print(f"\n{name}: {ms / K:.2f} ms / step (scan of {K})", flush=True)
         cats = {}
-        copies = []
         for opname, t_ms in top:
-            if "custom-call" in opname or "tpu_custom_call" in opname:
-                cat = "pallas"
-            elif "convolution" in opname:
-                cat = "convolution"
-            elif "convert_reduce" in opname or "reduce" in opname:
-                cat = "reduce(GN stats)"
-            elif "copy" in opname:
-                cat = "copy"
-                copies.append((opname, t_ms))
-            elif "fusion" in opname:
-                cat = "fusion(elementwise)"
+            # Classify by the op KIND on the RHS (operand names would
+            # otherwise pollute, e.g. "%fusion(... %copy-done...)").
+            rhs = opname.split(" = ", 1)[1] if " = " in opname else opname
+            kind = rhs.split("(", 1)[0].rsplit(" ", 1)[-1]                 if "(" in rhs else rhs
+            if kind == "custom-call":
+                cat = "pallas/custom-call"
+            elif kind in ("copy", "copy-start", "copy-done", "transpose",
+                          "bitcast-convert"):
+                cat = "copy/transpose"
             else:
-                cat = "other"
+                cat = kind
             cats[cat] = cats.get(cat, 0.0) + t_ms
-        for cat, t_ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        for cat, t_ms in sorted(cats.items(), key=lambda kv: -kv[1])[:10]:
             print(f"   {t_ms / K:8.2f} ms/step  {cat}", flush=True)
-        print("  top copies:", flush=True)
-        for opname, t_ms in copies[:6]:
-            print(f"   {t_ms / K:7.3f} ms  {opname[:115]}", flush=True)
+        print("  top ops:", flush=True)
+        for opname, t_ms in top[2:22]:
+            print(f"   {t_ms / K:7.3f} ms  {opname[:130]}", flush=True)
 
-    a = results["xla-only"][1]
-    b = results["fused-auto"][1]
-    print("\nmax |fused - xla|:", np.abs(a - b).max(), flush=True)
-    print(f"speedup: {results['xla-only'][0] / results['fused-auto'][0]:.2f}x",
-          flush=True)
+    base = results["xla-only"]
+    for name in ("fused", "chain"):
+        if name in results:
+            print(f"\n{name}: max|diff vs xla| = "
+                  f"{np.abs(base[1] - results[name][1]).max():.4f}, "
+                  f"speedup {base[0] / results[name][0]:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

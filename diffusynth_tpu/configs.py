@@ -104,6 +104,10 @@ class UNetConfig(_JsonMixin):
     # Fused Pallas block/attention kernels: None = auto (TPU, where shapes
     # qualify), False = force the XLA formulation. See ops/fused_block.py.
     fused_kernels: Optional[bool] = None
+    # Channel-padded Pallas-chain execution (activations zero-padded to
+    # 128-lane multiples at rest so every fused kernel's DMA is aligned;
+    # see nn/padding.py). None = auto (TPU when fused_kernels isn't False).
+    channel_pad: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(self, "down_dims", tuple(self.down_dims))

@@ -90,13 +90,28 @@ class _Attn(nn.Module):
 
         from diffusynth_tpu.ops.attention_site import attention_site
 
+        from diffusynth_tpu.nn import padding as pdg
+
         heads, dim_head = 4, 32
         F = heads * dim_head
         B, H, W, C = x.shape
-        gpre_s, gpre_b = GNParams(C, name="norm")()
+        rc = real_c if real_c is not None else C
+        gpre_s, gpre_b = GNParams(rc, name="norm")()
         cond_dim = condition.shape[-1] if condition is not None else None
         (wqkv, wlk, blk, wlq, blq, wout, bout, g2s, g2b) = _LinearAddParams(
-            C, F, name="fn")(cond_dim)
+            rc, F, name="fn")(cond_dim)
+        if rc != C:
+            # Channel-padded chain path: scatter real-sized params to the
+            # zero-padded lanes (single segment; see nn/padding.py).
+            segs = ((rc, C),)
+            assert pdg.total_pad(segs) == C, (rc, C)
+            wqkv = pdg.scatter_rows(wqkv.reshape(1, 1, rc, 3 * F), segs)
+            wout = pdg.pad_out(wout.reshape(1, 1, F, rc), segs)
+            bout = pdg.scatter_vec(bout, segs)
+            gpre_s = pdg.scatter_vec(gpre_s, segs)
+            gpre_b = pdg.scatter_vec(gpre_b, segs)
+            g2s = pdg.scatter_vec(g2s, segs)
+            g2b = pdg.scatter_vec(g2b, segs)
 
         xc = x.astype(self.dtype) if self.dtype is not None else x
         if condition is not None:
@@ -170,68 +185,149 @@ class ConditionedUnet(nn.Module):
         else:
             time_emb = None
 
+        # Channel-padded Pallas-chain execution (nn/padding.py): every
+        # block/attention kernel's DMA lanes are 128-aligned; params stay
+        # real-sized (checkpoint-identical) and are scattered per call.
+        chain = cfg.channel_pad
+        if chain is None:
+            chain = (jax.default_backend() == "tpu"
+                     and cfg.fused_kernels is not False)
+        chain = bool(chain) and cfg.use_convnext \
+            and cfg.attn_type == "linear_add"
+
+        from diffusynth_tpu.nn import padding as pdg
+        from diffusynth_tpu.nn.layers import ConvParams
+        cdtype = self.dtype if self.dtype is not None else x.dtype
+        dn4 = ("NHWC", "HWIO", "NHWC")
+
+        def block(x, segs, dim_out, name, with_time=True):
+            b = self._block(dim_out, name)
+            temb = time_emb if with_time else None
+            if chain:
+                return b(x, temb, segments=segs), pdg.single(dim_out)
+            return b(x, temb), None
+
+        def attn(x, segs, name):
+            rc = pdg.total_real(segs) if chain else None
+            y = _Attn(cfg.attn_type, dtype=self.dtype,
+                      use_fused=cfg.fused_kernels,
+                      name=name)(x, condition_emb, real_c=rc)
+            return y, segs
+
+        def cat(skip, x, ssegs, xsegs):
+            y = pad_and_concat(skip, x)
+            return y, (tuple(ssegs) + tuple(xsegs) if chain else None)
+
+        def init_conv(x):
+            if not chain:
+                return conv2d(down_dims[0], 7, padding=3, dtype=self.dtype,
+                              name="init_conv")(x), None
+            segs = pdg.single(down_dims[0])
+            w, b = ConvParams((7, 7, cfg.in_dim, down_dims[0]),
+                              name="init_conv")()
+            w_p = pdg.pad_out(w, segs).astype(cdtype)
+            b_p = pdg.scatter_vec(b, segs).astype(cdtype)
+            dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
+            y = jax.lax.conv_general_dilated(
+                x.astype(cdtype), w_p, (1, 1), ((3, 3), (3, 3)),
+                dimension_numbers=dn) + b_p
+            return y, segs
+
+        def down_conv(x, segs, dim_out, name):
+            if not chain:
+                return conv2d(dim_out, 4, stride=2, padding=1,
+                              dtype=self.dtype, name=name)(x), None
+            out_segs = pdg.single(dim_out)
+            rc = pdg.total_real(segs)
+            w, b = ConvParams((4, 4, rc, dim_out), name=name)()
+            w_p = pdg.pad_out(pdg.scatter_rows(w, segs),
+                              out_segs).astype(cdtype)
+            b_p = pdg.scatter_vec(b, out_segs).astype(cdtype)
+            dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
+            y = jax.lax.conv_general_dilated(
+                x.astype(cdtype), w_p, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=dn) + b_p
+            return y, out_segs
+
+        def up_conv(x, segs, feat, name):
+            if not chain:
+                return conv_transpose2d(feat, 4, 2, 1, dtype=self.dtype,
+                                        name=name)(x), None
+            out_segs = pdg.single(feat)
+            rc = pdg.total_real(segs)
+            # flax ConvTranspose(transpose_kernel=True) kernel layout:
+            # (kh, kw, out_features, in_features).
+            w, b = ConvParams((4, 4, feat, rc), name=name)()
+            w_p = pdg.scatter_vec(
+                pdg.scatter_vec(w, segs, axis=-1), out_segs,
+                axis=-2).astype(cdtype)
+            b_p = pdg.scatter_vec(b, out_segs).astype(cdtype)
+            y = jax.lax.conv_transpose(
+                x.astype(cdtype), w_p, (2, 2), ((2, 2), (2, 2)),
+                dimension_numbers=dn4, transpose_kernel=True) + b_p
+            return y, out_segs
+
         h = []
-        x = conv2d(down_dims[0], 7, padding=3, dtype=self.dtype,
-                   name="init_conv")(x)
-        h.append(x)
+        x, segs = init_conv(x)
+        h.append((x, segs))
 
         # Encoder path (reference: diffusion.py:215-223).
         down_in_out = list(zip(down_dims[:-1], down_dims[1:]))
         for i, (_, dim_out) in enumerate(down_in_out):
-            x = self._block(dim_out, f"downs_{i}_0")(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=f"downs_{i}_1")(x, condition_emb)
-            h.append(x)
-            x = self._block(dim_out, f"downs_{i}_2")(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=f"downs_{i}_3")(x, condition_emb)
-            h.append(x)
-            x = conv2d(dim_out, 4, stride=2, padding=1, dtype=self.dtype,
-                       name=f"downs_{i}_4")(x)
-            h.append(x)
+            x, segs = block(x, segs, dim_out, f"downs_{i}_0")
+            x, segs = attn(x, segs, f"downs_{i}_1")
+            h.append((x, segs))
+            x, segs = block(x, segs, dim_out, f"downs_{i}_2")
+            x, segs = attn(x, segs, f"downs_{i}_3")
+            h.append((x, segs))
+            x, segs = down_conv(x, segs, dim_out, f"downs_{i}_4")
+            h.append((x, segs))
 
         # Bottleneck (reference: diffusion.py:131-146, 226-238).
         mid_dim = down_dims[-1]
         for i in range(cfg.mid_depth - 1):
-            x = self._block(mid_dim, f"mid_left_{i}")(x, time_emb)
-            h.append(x)
-        x = self._block(mid_dim, "mid_mid_0")(x, time_emb)
-        x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                  name="mid_mid_1")(x, condition_emb)
-        x = self._block(mid_dim, "mid_mid_2")(x, time_emb)
+            x, segs = block(x, segs, mid_dim, f"mid_left_{i}")
+            h.append((x, segs))
+        x, segs = block(x, segs, mid_dim, "mid_mid_0")
+        x, segs = attn(x, segs, "mid_mid_1")
+        x, segs = block(x, segs, mid_dim, "mid_mid_2")
         for i in range(cfg.mid_depth - 1):
-            x = pad_and_concat(h.pop(), x)
-            x = self._block(mid_dim, f"mid_right_{i}")(x, time_emb)
+            s, ssegs = h.pop()
+            x, segs = cat(s, x, ssegs, segs)
+            x, segs = block(x, segs, mid_dim, f"mid_right_{i}")
 
         # Decoder path (reference: diffusion.py:241-253).
         up_in_out = list(zip(up_dims[:-1], up_dims[1:]))
         for i, (up_dim_in, up_dim_out) in enumerate(up_in_out):
-            x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_in, f"ups_{i}_0")(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=f"ups_{i}_1")(x, condition_emb)
-            x = conv_transpose2d(up_dim_in, 4, 2, 1, dtype=self.dtype,
-                                 name=f"ups_{i}_2")(x)
+            s, ssegs = h.pop()
+            x, segs = cat(s, x, ssegs, segs)
+            x, segs = block(x, segs, up_dim_in, f"ups_{i}_0")
+            x, segs = attn(x, segs, f"ups_{i}_1")
+            x, segs = up_conv(x, segs, up_dim_in, f"ups_{i}_2")
 
-            x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_out, f"ups_{i}_3")(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=f"ups_{i}_4")(x, condition_emb)
+            s, ssegs = h.pop()
+            x, segs = cat(s, x, ssegs, segs)
+            x, segs = block(x, segs, up_dim_out, f"ups_{i}_3")
+            x, segs = attn(x, segs, f"ups_{i}_4")
 
-            x = pad_and_concat(h.pop(), x)
-            x = self._block(up_dim_out, f"ups_{i}_5")(x, time_emb)
-            x = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=f"ups_{i}_6")(x, condition_emb)
+            s, ssegs = h.pop()
+            x, segs = cat(s, x, ssegs, segs)
+            x, segs = block(x, segs, up_dim_out, f"ups_{i}_5")
+            x, segs = attn(x, segs, f"ups_{i}_6")
 
         # Final skip + head (reference: diffusion.py:173-175, 256-257).
-        x = pad_and_concat(h.pop(), x)
+        s, ssegs = h.pop()
+        x, segs = cat(s, x, ssegs, segs)
         assert not h, "skip-connection stack should be empty"
-        x = self._block(up_dims[-1], "final_conv_0")(x)
-        return conv2d(out_dim, 3, padding=1, dtype=self.dtype,
-                      name="final_conv_1")(x)
+        x, segs = block(x, segs, up_dims[-1], "final_conv_0",
+                        with_time=False)
+        if not chain:
+            return conv2d(out_dim, 3, padding=1, dtype=self.dtype,
+                          name="final_conv_1")(x)
+        rc = pdg.total_real(segs)
+        w, b = ConvParams((3, 3, rc, out_dim), name="final_conv_1")()
+        w_p = pdg.scatter_rows(w, segs).astype(cdtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
+        return jax.lax.conv_general_dilated(
+            x.astype(cdtype), w_p, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn) + b.astype(cdtype)

@@ -58,23 +58,29 @@ def _moments(s1, s2, n: int, eps: float):
 
 
 def _convnext_kernel(
-    h_ref, t_ref, xres_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
+    h_ref, t_ref, xres_ref, stats_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     g2s_ref, g2b_ref, w2_ref, b2_ref, wres_ref, bres_ref,
     o_ref, ypad_ref, ypad2_ref,
     *, H: int, W: int, P: int, eps: float, norm: bool,
-    has_res_conv: bool, n1: int, n2: int,
+    has_res_conv: bool, n1: int, n2: int, external_stats: bool,
 ):
     """One batch element: GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3
-    -> + residual. All activations VMEM-resident."""
+    -> + residual. All activations VMEM-resident. With external_stats the
+    GN1 sums come from the producer (the XLA depthwise-conv fusion computes
+    them for free in its epilogue) instead of an in-VMEM pass."""
     HW = H * W
     C = h_ref.shape[-1]
     D = w1_ref.shape[-1]
 
     x1 = h_ref[0] + jnp.broadcast_to(t_ref[0, 0], (HW, C))  # (HW, C) bf16
 
-    # --- GN1 (free in-VMEM stats over the real n1 elements) + normalize.
+    # --- GN1 (stats over the real n1 elements) + normalize.
     if norm:
-        s1, s2 = _sum_and_sumsq_bf16(x1)
+        if external_stats:
+            s1 = stats_ref[0, 0, 0]
+            s2 = stats_ref[0, 0, 1]
+        else:
+            s1, s2 = _sum_and_sumsq_bf16(x1)
         m, inv = _moments(s1, s2, n1, eps)
         g1s = g1s_ref[0].astype(jnp.float32)
         g1b = g1b_ref[0].astype(jnp.float32)
@@ -141,7 +147,8 @@ def _convnext_kernel(
 
 
 def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
-                    wres, bres, *, H, W, norm, eps, n1, n2, interpret):
+                    wres, bres, stats=None, *, H, W, norm, eps, n1, n2,
+                    interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -165,9 +172,18 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
         wresf = jnp.zeros((8, 128), dtype)   # static-signature placeholders
         bresf = jnp.zeros((1, 128), dtype)
 
+    external_stats = stats is not None
+    if external_stats:
+        stats_arr = jnp.stack(
+            [stats[0].astype(jnp.float32), stats[1].astype(jnp.float32)],
+            axis=-1).reshape(B, 1, 2)
+        stats_arr = jnp.pad(stats_arr, ((0, 0), (0, 0), (0, 126)))
+    else:
+        stats_arr = jnp.zeros((B, 1, 128), jnp.float32)
     kern = functools.partial(
         _convnext_kernel, H=H, W=W, P=P, eps=eps, norm=norm,
         has_res_conv=has_res_conv, n1=n1, n2=n2,
+        external_stats=external_stats,
     )
     const = lambda b: (0, 0)  # noqa: E731
 
@@ -180,6 +196,8 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HW, Cr), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
@@ -208,6 +226,7 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
         h2,
         temb_vec.reshape(B, 1, C).astype(dtype),
         xres2,
+        stats_arr,
         g1s.reshape(1, C).astype(dtype), g1b.reshape(1, C).astype(dtype),
         w1f, b1.reshape(1, D).astype(dtype),
         g2s.reshape(1, D).astype(dtype), g2b.reshape(1, D).astype(dtype),
@@ -219,12 +238,13 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
 
 def convnext_body_reference(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
-    *, norm: bool = True, eps: float = 1e-5,
+    stats=None, *, norm: bool = True, eps: float = 1e-5,
     n1: Optional[int] = None, n2: Optional[int] = None,
 ):
     """Plain-XLA reference of the same body. n1/n2 are the real element
     counts for the two GN sites (defaults: all elements — the unpadded
-    case)."""
+    case). stats: optional externally-computed GN1 (sum, sumsq), (B,)
+    each."""
     dtype = h.dtype
     B, H, W, C = h.shape
     D = w1.shape[-1]
@@ -252,7 +272,17 @@ def convnext_body_reference(
         )
 
     x1 = h + temb_vec[:, None, None, :].astype(dtype)
-    y = gn(x1, g1s, g1b, n1).astype(dtype) if norm else x1
+    if norm and stats is not None:
+        s1 = stats[0].astype(jnp.float32).reshape(-1, 1, 1, 1)
+        s2 = stats[1].astype(jnp.float32).reshape(-1, 1, 1, 1)
+        m = s1 / n1
+        inv = jax.lax.rsqrt(s2 / n1 - jnp.square(m) + eps)
+        y = ((x1.astype(jnp.float32) - m) * inv * g1s.astype(jnp.float32)
+             + g1b.astype(jnp.float32)).astype(dtype)
+    elif norm:
+        y = gn(x1, g1s, g1b, n1).astype(dtype)
+    else:
+        y = x1
     g = jax.nn.gelu(conv(y, w1) + b1.astype(jnp.float32))
     y2 = gn(g, g2s, g2b, n2).astype(dtype)
     acc2 = conv(y2, w2) + b2.astype(jnp.float32)
@@ -265,49 +295,84 @@ def convnext_body_reference(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(13, 14, 15, 16, 17, 18),
+    nondiff_argnums=(15, 16, 17, 18, 19, 20, 21),
 )
-def _convnext_body_fused(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b,
-                         w2, b2, wres, bres, H, W, norm, eps, n1, n2):
+def _convnext_body_fused(h, temb_vec, xres, s1, s2, g1s, g1b, w1, b1, g2s,
+                         g2b, w2, b2, wres, bres, H, W, norm, eps, n1, n2,
+                         external_stats):
     return _pallas_forward(
         h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
+        stats=(s1, s2) if external_stats else None,
         H=H, W=W, norm=norm, eps=eps, n1=n1, n2=n2, interpret=False,
     )
 
 
-def _fused_fwd(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
-               wres, bres, H, W, norm, eps, n1, n2):
+def _fused_fwd(h, temb_vec, xres, s1, s2, g1s, g1b, w1, b1, g2s, g2b,
+               w2, b2, wres, bres, H, W, norm, eps, n1, n2, external_stats):
     out = _convnext_body_fused(
-        h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
-        H, W, norm, eps, n1, n2)
-    return out, (h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
-                 wres, bres)
+        h, temb_vec, xres, s1, s2, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+        wres, bres, H, W, norm, eps, n1, n2, external_stats)
+    return out, (h, temb_vec, xres, s1, s2, g1s, g1b, w1, b1, g2s, g2b,
+                 w2, b2, wres, bres)
 
 
-def _fused_bwd(H, W, norm, eps, n1, n2, residuals, grad):
+def _fused_bwd(H, W, norm, eps, n1, n2, external_stats, residuals, grad):
     args = residuals
-    has_res = args[11] is not None
+    has_res = args[13] is not None
 
-    def ref(*a):
-        if has_res:
-            return convnext_body_reference(
-                *a, norm=norm, eps=eps, n1=n1, n2=n2)
+    def ref(h, t, xr, s1, s2, *rest):
+        wres_, bres_ = (rest[8], rest[9]) if has_res else (None, None)
         return convnext_body_reference(
-            *a[:11], None, None, norm=norm, eps=eps, n1=n1, n2=n2)
+            h, t, xr, *rest[:8], wres_, bres_,
+            stats=(s1, s2) if external_stats else None,
+            norm=norm, eps=eps, n1=n1, n2=n2)
 
-    if has_res:
-        _, vjp = jax.vjp(ref, *args)
-        return vjp(grad)
-    _, vjp = jax.vjp(ref, *args[:11])
-    return vjp(grad) + (None, None)
+    n_diff = 15 if has_res else 13
+    _, vjp = jax.vjp(ref, *args[:n_diff])
+    grads = vjp(grad)
+    if not has_res:
+        grads = grads + (None, None)
+    return grads
 
 
 _convnext_body_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def dwconv7x7_gn_stats(x, wdw, bdw, temb_vec=None, n: Optional[int] = None):
+    """Depthwise 7x7 conv + bias + time-embedding add, WITH the following
+    GroupNorm's (sum, sumsq) computed in the same pass.
+
+    Formulated as 49 shifted elementwise FMAs (not lax.conv) so XLA emits a
+    single loop fusion in the producer's layout — no convolution-layout
+    churn between Pallas kernels — and fuses the stat reduces into its
+    epilogue (the familiar convert_reduce_fusion pattern, now free).
+
+    x: (B, H, W, C); wdw: (7, 7, 1, C) (flax grouped-conv kernel layout) or
+    (7, 7, C); bdw: (C,) or None; temb_vec: (B, C) or None.
+    Returns h (B, H, W, C) in x.dtype, s1, s2 ((B,) f32 sums over h).
+    """
+    B, H, W, C = x.shape
+    w = wdw.reshape(7, 7, C).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    h = jnp.zeros((B, H, W, C), jnp.float32)
+    for a in range(7):
+        for b in range(7):
+            h = h + xp[:, a:a + H, b:b + W, :].astype(jnp.float32) \
+                * w[a, b].astype(jnp.float32)
+    if bdw is not None:
+        h = h + bdw.astype(jnp.float32)
+    if temb_vec is not None:
+        h = h + temb_vec[:, None, None, :].astype(jnp.float32)
+    hc = h.astype(x.dtype)
+    h32 = hc.astype(jnp.float32)
+    s1 = jnp.sum(h32, axis=(1, 2, 3))
+    s2 = jnp.sum(jnp.square(h32), axis=(1, 2, 3))
+    return hc, s1, s2
+
+
 def convnext_body(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
-    *, norm: bool = True, eps: float = 1e-5,
+    stats=None, *, norm: bool = True, eps: float = 1e-5,
     n1: Optional[int] = None, n2: Optional[int] = None,
     use_pallas: Optional[bool] = None,
 ):
@@ -317,7 +382,9 @@ def convnext_body(
     (B, H, W, C) / (B, H, W, Cr); temb_vec: (B, C) or None; w1: (3,3,C,D);
     w2: (3,3,D,Co); wres: (1,1,Cr,Co) or None (identity residual, Cr==Co).
     n1/n2: real element counts per sample for the GN sites when channels
-    are zero-padded (see module docstring).
+    are zero-padded (see module docstring). stats: optional externally
+    computed GN1 (sum, sumsq) per sample (from dwconv7x7_gn_stats — then
+    temb must already be folded into h).
     """
     B, H, W, C = h.shape
     D = w1.shape[-1]
@@ -343,9 +410,15 @@ def convnext_body(
             and per_sample <= 64 * 1024 * 1024
         )
     if use_pallas:
+        external = stats is not None
+        if external:
+            s1, s2 = stats
+        else:
+            s1 = jnp.zeros((B,), jnp.float32)
+            s2 = jnp.zeros((B,), jnp.float32)
         return _convnext_body_fused(
-            h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
-            wres, bres, H, W, norm, eps, n1, n2)
+            h, temb_vec, xres, s1, s2, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+            wres, bres, H, W, norm, eps, n1, n2, external)
     return convnext_body_reference(
         h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
-        norm=norm, eps=eps, n1=n1, n2=n2)
+        stats=stats, norm=norm, eps=eps, n1=n1, n2=n2)

@@ -190,3 +190,67 @@ class TestAttentionSiteKernel:
             heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5, n=H * W * C)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(module_out),
                                    atol=5e-5, rtol=1e-4)
+
+
+class TestExternalStats:
+    def test_dwconv_helper_matches_lax_conv(self):
+        from diffusynth_tpu.ops.fused_block import dwconv7x7_gn_stats
+
+        key = jax.random.PRNGKey(0)
+        B, H, W, C = 2, 16, 8, 24
+        x = jax.random.normal(key, (B, H, W, C), jnp.float32)
+        wdw = jax.random.normal(jax.random.PRNGKey(1), (7, 7, 1, C)) * 0.1
+        bdw = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.1
+        t = jax.random.normal(jax.random.PRNGKey(3), (B, C)) * 0.1
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, wdw.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, wdw, (1, 1), ((3, 3), (3, 3)), dimension_numbers=dn,
+            feature_group_count=C) + bdw + t[:, None, None, :]
+        h, s1, s2 = dwconv7x7_gn_stats(x, wdw, bdw, t)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(ref.sum(axis=(1, 2, 3))),
+            atol=1e-2, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s2), np.asarray((ref ** 2).sum(axis=(1, 2, 3))),
+            atol=1e-2, rtol=1e-5)
+
+    def test_kernel_external_stats_matches_internal(self):
+        a, _ = _convnext_args(jax.random.PRNGKey(4))
+        h, t = a["h"], a["t"]
+        x1 = h + t[:, None, None, :]
+        s1 = jnp.sum(x1, axis=(1, 2, 3))
+        s2 = jnp.sum(jnp.square(x1), axis=(1, 2, 3))
+        args = list(a.values()) + [None, None]
+        internal = convnext_pallas(*args, H=16, W=8, norm=True, eps=1e-5,
+                                   n1=16 * 8 * 128, n2=16 * 8 * 192,
+                                   interpret=True)
+        external = convnext_pallas(*args, stats=(s1, s2), H=16, W=8,
+                                   norm=True, eps=1e-5, n1=16 * 8 * 128,
+                                   n2=16 * 8 * 192, interpret=True)
+        np.testing.assert_allclose(np.asarray(external),
+                                   np.asarray(internal),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_body_dispatch_with_stats_reference(self):
+        """convnext_body(stats=...) on the reference path (CPU) matches the
+        stats-free call when stats are the true sums."""
+        from diffusynth_tpu.ops.fused_block import convnext_body
+
+        a, _ = _convnext_args(jax.random.PRNGKey(5))
+        h, t = a["h"], a["t"]
+        x1 = h + t[:, None, None, :]
+        s1 = jnp.sum(x1, axis=(1, 2, 3))
+        s2 = jnp.sum(jnp.square(x1), axis=(1, 2, 3))
+        base = convnext_body(*list(a.values()), None, None,
+                             use_pallas=False)
+        # external stats path: temb already folded into h
+        ext = convnext_body(x1, None, a["xres"], a["g1s"], a["g1b"],
+                            a["w1"], a["b1"], a["g2s"], a["g2b"], a["w2"],
+                            a["b2"], None, None, stats=(s1, s2),
+                            use_pallas=False)
+        np.testing.assert_allclose(np.asarray(ext), np.asarray(base),
+                                   atol=5e-5, rtol=1e-4)
