@@ -188,11 +188,11 @@ class ConditionedUnet(nn.Module):
         # Channel-padded Pallas-chain execution (nn/padding.py): every
         # block/attention kernel's DMA lanes are 128-aligned; params stay
         # real-sized (checkpoint-identical) and are scattered per call.
-        chain = cfg.channel_pad
-        if chain is None:
-            chain = (jax.default_backend() == "tpu"
-                     and cfg.fused_kernels is not False)
-        chain = bool(chain) and cfg.use_convnext \
+        # Default OFF: measured 432 vs 238 ms/step on v5e (the 49-shift
+        # depthwise fusion re-reads its input per tap, and the baseline's
+        # conv+stat fusions already overlap well — benchmarks/micro_scan).
+        # Kept available for kernel iterations via channel_pad=True.
+        chain = bool(cfg.channel_pad) and cfg.use_convnext \
             and cfg.attn_type == "linear_add"
 
         from diffusynth_tpu.nn import padding as pdg

@@ -50,6 +50,23 @@ class TestPaddedChain:
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
                                    atol=2e-4, rtol=1e-3)
 
+    def test_matches_unpadded_nonpow2_width(self):
+        """Width-48-bucket-style spatial dims (odd widths at inner levels;
+        the mid level falls back to the reference body)."""
+        cfg_u = _tiny_cfg(channel_pad=False)
+        cfg_p = _tiny_cfg(channel_pad=True)
+        model_u = ConditionedUnet(cfg_u)
+        model_p = ConditionedUnet(cfg_p)
+        key = jax.random.PRNGKey(7)
+        x = jax.random.normal(key, (1, 24, 12, 4), jnp.float32)
+        t = jnp.array([42], jnp.int32)
+        cond = jax.random.normal(jax.random.PRNGKey(8), (1, 512))
+        params = model_u.init(jax.random.PRNGKey(9), x, t, cond)
+        out_u = model_u.apply(params, x, t, cond)
+        out_p = model_p.apply(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                                   atol=2e-4, rtol=1e-3)
+
     def test_param_tree_identical(self):
         """The padded path declares the exact same params (names, shapes) —
         checkpoints and the torch converter see no difference."""
