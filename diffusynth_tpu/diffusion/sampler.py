@@ -253,7 +253,9 @@ class DiffSynthSampler:
                     img = m * blend_src + (1.0 - m) * img
                 return img
 
-            jitted_step = jax.jit(_body_impl)
+            from diffusynth_tpu.utils.aot_cache import aot_jit
+            jitted_step = aot_jit(_body_impl,
+                                  name="sampler_step")
 
             def python_loop(params, init_img, cond, uncond, guide, init_noise,
                             mask_profiles, static_mask, key):
@@ -276,7 +278,8 @@ class DiffSynthSampler:
             self._loop_cache[sig] = python_loop
             return python_loop
 
-        jitted = jax.jit(loop)
+        from diffusynth_tpu.utils.aot_cache import aot_jit
+        jitted = aot_jit(loop, name="sampler_loop")
         self._loop_cache[sig] = jitted
         return jitted
 

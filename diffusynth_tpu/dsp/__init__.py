@@ -22,7 +22,8 @@ from diffusynth_tpu.dsp.griffin_lim import (
     nn_data_to_audio,
 )
 from diffusynth_tpu.dsp.resample import resample, adjust_audio_length
-from diffusynth_tpu.dsp.pitch import phase_vocoder, time_stretch, pitch_shift
+from diffusynth_tpu.dsp.pitch import (phase_vocoder, time_stretch,
+                                      pitch_shift, pitch_shift_batch)
 from diffusynth_tpu.dsp.envelope import adsr_envelope, rms_normalize
 from diffusynth_tpu.dsp.utils import (
     rescale,

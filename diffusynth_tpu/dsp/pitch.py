@@ -109,3 +109,86 @@ def pitch_shift(
         return shifted[..., :n]
     pad_widths = [(0, 0)] * (y.ndim - 1) + [(0, n - cur)]
     return jnp.pad(shifted, pad_widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "max_down_steps", "bins_per_octave",
+                     "n_fft"),
+)
+def pitch_shift_batch(
+    y: jnp.ndarray,
+    sample_rate: int,
+    n_steps: jnp.ndarray,
+    max_down_steps: int = 36,
+    bins_per_octave: int = 12,
+    n_fft: int = 4096,
+) -> jnp.ndarray:
+    """Pitch-shift a batch of signals by PER-ELEMENT (traced) semitone
+    amounts in ONE XLA program.
+
+    pitch_shift() compiles one program per distinct n_steps (static shapes
+    from the stretch rate) — the dominant track-render cold-start cost
+    (one ~25 s remote compile per semitone present in the MIDI). Here the
+    vocoder runs over a fixed frame budget sized for max_down_steps
+    (invalid frames masked), anti-aliasing for downward shifts is a
+    traced-cutoff mask in the frequency domain (replacing the static
+    path's resample filter), and the final un-stretch is a traced-position
+    linear interpolation back onto the original sample grid.
+
+    y: (B, n); n_steps: (B,) float semitones (positive = up). Shifts whose
+    |n_steps| < 1e-6 return the input unchanged (matching pitch_shift).
+    """
+    B, n = y.shape
+    hop = n_fft // 4
+    rate = 2.0 ** (-n_steps.astype(jnp.float32) / bins_per_octave)  # (B,)
+
+    D = stft(y, n_fft=n_fft, hop_length=hop, win_length=n_fft)  # (B, nb, F)
+    nb, F = D.shape[-2], D.shape[-1]
+    budget = int(np.ceil(F * 2.0 ** (max_down_steps / bins_per_octave))) + 1
+
+    phi_advance = jnp.asarray(
+        np.linspace(0, np.pi * hop, nb, dtype=np.float32))
+    Dp = jnp.concatenate([D, jnp.zeros((B, nb, 1), D.dtype)], axis=-1)
+    mag = jnp.abs(Dp)
+    phase = jnp.angle(Dp)
+
+    def one(yi, magi, phasei, ri):
+        t_steps = jnp.arange(budget, dtype=jnp.float32) * ri
+        base = jnp.minimum(jnp.floor(t_steps).astype(jnp.int32), F - 1)
+        nxt = jnp.minimum(base + 1, F)
+        frac = t_steps - jnp.floor(t_steps)
+        valid = (t_steps < F).astype(jnp.float32)
+
+        # The phase recurrence acc_{k+1} = acc_k + phi + dphase_k has no
+        # feedback through dphase, so the whole vocoder vectorizes as
+        # gathers + a cumulative sum — no lax.scan (the 500-step scan
+        # made the remote compile pathological).
+        mag0 = magi[:, base]                              # (nb, budget)
+        mag1 = magi[:, nxt]
+        m = ((1.0 - frac) * mag0 + frac * mag1) * valid
+        dphase = phasei[:, nxt] - phasei[:, base] - phi_advance[:, None]
+        dphase = dphase - 2.0 * jnp.pi * jnp.round(dphase / (2.0 * jnp.pi))
+        inc = phi_advance[:, None] + dphase               # (nb, budget)
+        acc = phasei[:, :1] + jnp.concatenate(
+            [jnp.zeros((nb, 1), jnp.float32),
+             jnp.cumsum(inc[:, :-1], axis=1)], axis=1)
+        D2 = jax.lax.complex(m * jnp.cos(acc), m * jnp.sin(acc))
+
+        # Anti-alias for downward shifts (the final interp downsamples by
+        # 1/ri when ri < 1): brick-wall at ri * nyquist.
+        k = jnp.arange(nb, dtype=jnp.float32) / (nb - 1)
+        D2 = D2 * (k[:, None] <= jnp.minimum(ri, 1.0) + 1e-6)
+
+        stretched = istft(D2, n_fft=n_fft, hop_length=hop, win_length=n_fft,
+                          length=hop * (budget - 1))
+        L = stretched.shape[-1]
+        pos = jnp.arange(n, dtype=jnp.float32) / ri
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, L - 2)
+        fr = pos - i0.astype(jnp.float32)
+        out = stretched[i0] * (1.0 - fr) + stretched[i0 + 1] * fr
+        # Past the stretched signal's actual end (ri > 1), emit silence.
+        out = out * (pos < hop * (budget - 1)).astype(out.dtype)
+        return jnp.where(jnp.abs(ri - 1.0) < 1e-9, yi, out)
+
+    return jax.vmap(one)(y, mag, phase, rate)

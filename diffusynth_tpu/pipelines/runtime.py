@@ -149,7 +149,10 @@ class DiffuSynthRuntime:
         a = self.config.audio
         vqgan = self.vqgan
 
-        @functools.partial(jax.jit, static_argnames=("quantize",))
+        from diffusynth_tpu.utils.aot_cache import aot_jit
+
+        @functools.partial(aot_jit, name="decode",
+                           static_argnames=("quantize",))
         def decode(variables, latents, quantize=True):
             if quantize:
                 latents, _, _ = vqgan.apply(
@@ -188,7 +191,9 @@ class DiffuSynthRuntime:
         a = self.config.audio
         vqgan = self.vqgan
 
-        @jax.jit
+        from diffusynth_tpu.utils.aot_cache import aot_jit
+
+        @functools.partial(aot_jit, name="encode")
         def encode(variables, audio):
             D = stft(audio, a.n_fft, a.hop_length, a.win_length)
             enc = encode_stft(pad_stft(D, None))      # (B, F, T, 3)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusynth_tpu.diffusion.schedule import respaced_timesteps
-from diffusynth_tpu.dsp import pitch_shift
+from diffusynth_tpu.dsp import pitch_shift, pitch_shift_batch
 from diffusynth_tpu.midi import MidiFile, MidiTrack, tick2second
 from diffusynth_tpu.midi.parser import DEFAULT_TEMPO
 from diffusynth_tpu.pipelines.runtime import DiffuSynthRuntime
@@ -173,26 +173,51 @@ class TrackRenderPipeline:
                 rendered[(name, width)] = sample / (peak if peak > 0 else 1.0)
         return rendered
 
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            if n <= b:
+                return b
+        return n
+
     def _pitch_shift_notes(
         self, jobs: List[_NoteJob],
         rendered: Dict[Tuple[str, int], np.ndarray],
     ) -> List[np.ndarray]:
-        """Batched phase-vocoder shifts, grouped by (render, semitones)."""
+        """All distinct (render, semitone) shifts in ONE traced-semitone
+        batched vocoder launch per audio length (dsp.pitch_shift_batch) —
+        the per-semitone static programs cost one ~25 s remote compile
+        each, the dominant track-render cold-start."""
         sr = self.runtime.config.audio.sample_rate
         out: List[Optional[np.ndarray]] = [None] * len(jobs)
         groups: Dict[Tuple[str, int, int], List[int]] = {}
         for i, j in enumerate(jobs):
             groups.setdefault((j.instrument, j.width, j.note - 52), []).append(i)
-        for (name, width, semis), idxs in groups.items():
+
+        # Batch the unique shifts by audio length (width bucket).
+        by_len: Dict[int, List[Tuple[Tuple[str, int, int], np.ndarray]]] = {}
+        results: Dict[Tuple[str, int, int], np.ndarray] = {}
+        for (name, width, semis), _ in groups.items():
             base = rendered[(name, width)]
             if semis == 0:
-                shifted = base
+                results[(name, width, semis)] = base
             else:
-                shifted = np.asarray(
-                    pitch_shift(jnp.asarray(base), sr, int(semis))
-                )
+                by_len.setdefault(len(base), []).append(
+                    ((name, width, semis), base))
+        for _, entries in by_len.items():
+            B = self._batch_bucket(len(entries))
+            bases = [e[1] for e in entries]
+            semis_v = [float(e[0][2]) for e in entries]
+            while len(bases) < B:           # pad to a fixed batch bucket
+                bases.append(bases[-1])
+                semis_v.append(semis_v[-1])
+            shifted = np.asarray(pitch_shift_batch(
+                jnp.asarray(np.stack(bases)), sr, jnp.asarray(semis_v)))
+            for k, (key, _) in enumerate(entries):
+                results[key] = shifted[k]
+        for key, idxs in groups.items():
             for i in idxs:
-                out[i] = shifted
+                out[i] = results[key]
         return out  # type: ignore[return-value]
 
     # -- public API ---------------------------------------------------------

@@ -1,0 +1,188 @@
+"""Disk cache of compiled TPU executables (AOT).
+
+The axon remote compiler bypasses JAX's persistent compilation cache
+(measured: no effect, benchmarks/RESULTS_r1.md), so every process pays
+multi-minute compiles: ~3 min for the batch-64 sampling scan, ~19 min cold
+start for the track renderer's per-width programs. This cache serializes
+compiled executables (jax.experimental.serialize_executable) keyed by the
+SHA-256 of the lowered StableHLO plus the JAX version and device kind, and
+reloads them in later processes without compiling.
+
+Usage — a drop-in jit wrapper:
+
+    from diffusynth_tpu.utils.aot_cache import aot_jit
+    step = aot_jit(body, name="ddim_step")
+    y = step(x, t)          # first process: compile + persist
+                            # later processes: load, no compile
+
+Environment:
+    DIFFUSYNTH_AOT_CACHE=0        disable (plain jax.jit behavior)
+    DIFFUSYNTH_AOT_CACHE_DIR=...  cache directory
+    (default ~/.cache/diffusynth_tpu/aot)
+
+Correctness: the key is the full lowered program text, so any change to
+code, shapes, dtypes, or static arguments produces a different key. A
+failed deserialize (e.g. different runtime version) falls back to a fresh
+compile and overwrites the entry.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import pickle
+import threading
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+
+
+def _enabled() -> bool:
+    return os.environ.get("DIFFUSYNTH_AOT_CACHE", "1") not in ("0", "false")
+
+
+def cache_dir() -> Path:
+    d = os.environ.get("DIFFUSYNTH_AOT_CACHE_DIR")
+    if d:
+        return Path(d)
+    return Path.home() / ".cache" / "diffusynth_tpu" / "aot"
+
+
+def _abstract_signature(args, kwargs) -> Tuple:
+    def describe(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return ("arr", tuple(leaf.shape), str(leaf.dtype))
+        return ("py", repr(leaf))
+
+    leaves, treedef = jax.tree_util.tree_flatten((args, tuple(sorted(
+        kwargs.items()))))
+    return (str(treedef), tuple(describe(x) for x in leaves))
+
+
+class AotJit:
+    """jax.jit with a persistent compiled-executable cache per shape
+    signature. Transparent on CPU/interpret backends and when disabled."""
+
+    def __init__(self, fn: Callable, *, name: Optional[str] = None,
+                 static_argnames: Sequence[str] = (),
+                 enabled: Optional[bool] = None):
+        self._fn = fn
+        self._name = name or getattr(fn, "__name__", "fn")
+        self._static_argnames = tuple(static_argnames)
+        self._jitted = jax.jit(fn, static_argnames=self._static_argnames) \
+            if self._static_argnames else jax.jit(fn)
+        self._enabled = enabled
+        self._compiled: Dict[Tuple, Any] = {}
+        self._jitted_static: Dict[Tuple, Any] = {}
+        self._lock = threading.Lock()
+        self.stats = {"hits": 0, "misses": 0, "bypass": 0}
+
+    def _use_cache(self) -> bool:
+        if self._enabled is not None:
+            return self._enabled
+        if not _enabled():
+            return False
+        backend = jax.default_backend()
+        if backend == "cpu":
+            return False
+        # Tunneled devices (axon remote backend): loading a deserialized
+        # executable pushes the program binary through the tunnel at
+        # ~0.3 MB/s (measured 285 s for an 83 MB U-Net forward vs a 29 s
+        # fresh compile) — a net loss. Opt in with DIFFUSYNTH_AOT_CACHE=force.
+        try:
+            plat = jax.devices()[0].client.platform
+        except Exception:  # noqa: BLE001
+            plat = backend
+        if plat == "axon":
+            return os.environ.get("DIFFUSYNTH_AOT_CACHE") == "force"
+        return True
+
+    def __call__(self, *args, **kwargs):
+        if not self._use_cache():
+            self.stats["bypass"] += 1
+            return self._jitted(*args, **kwargs)
+        # Compiled executables take positional args only: static kwargs are
+        # partial-bound into a per-combination jitted fn; dynamic kwargs
+        # are not supported on the cached path.
+        static_kw = {k: v for k, v in kwargs.items()
+                     if k in self._static_argnames}
+        dynamic_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
+        if dynamic_kw:
+            self.stats["bypass"] += 1
+            return self._jitted(*args, **kwargs)
+        sig = _abstract_signature(args, static_kw)
+        with self._lock:
+            compiled = self._compiled.get(sig)
+        if compiled is None:
+            compiled = self._load_or_compile(args, static_kw)
+            with self._lock:
+                self._compiled[sig] = compiled
+        return compiled(*args)
+
+    def _jit_for(self, static_kw):
+        key = tuple(sorted(static_kw.items()))
+        j = self._jitted_static.get(key)
+        if j is None:
+            j = jax.jit(functools.partial(self._fn, **static_kw)) \
+                if static_kw else self._jitted
+            self._jitted_static[key] = j
+        return j
+
+    def _load_or_compile(self, args, static_kw):
+        from jax.experimental import serialize_executable as se
+
+        lowered = self._jit_for(static_kw).lower(*args)
+        text = lowered.as_text()
+        dev = jax.devices()[0]
+        key = hashlib.sha256()
+        key.update(jax.__version__.encode())
+        key.update(getattr(dev, "device_kind", str(dev)).encode())
+        key.update(str(jax.device_count()).encode())
+        key.update(text.encode())
+        digest = key.hexdigest()[:24]
+        path = cache_dir() / f"{self._name}-{digest}.aot"
+
+        if path.exists():
+            try:
+                t0 = time.time()
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                loaded = se.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:1])
+                self.stats["hits"] += 1
+                print(f"[aot-cache] {self._name}: loaded {path.name} "
+                      f"in {time.time()-t0:.1f}s (no compile)", flush=True)
+                return loaded
+            except Exception as e:  # noqa: BLE001 — fall through to compile
+                print(f"[aot-cache] {self._name}: load failed "
+                      f"({type(e).__name__}: {e}); recompiling", flush=True)
+
+        t0 = time.time()
+        compiled = lowered.compile()
+        self.stats["misses"] += 1
+        try:
+            payload, in_tree, out_tree = se.serialize(compiled)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp-%d" % os.getpid())
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree), f)
+            tmp.replace(path)
+            print(f"[aot-cache] {self._name}: compiled in "
+                  f"{time.time()-t0:.1f}s, cached {len(payload)/1e6:.1f} MB "
+                  f"-> {path.name}", flush=True)
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            print(f"[aot-cache] {self._name}: serialize failed "
+                  f"({type(e).__name__}: {e}); caching skipped", flush=True)
+        return compiled
+
+
+def aot_jit(fn: Callable, *, name: Optional[str] = None,
+            static_argnames: Sequence[str] = (),
+            enabled: Optional[bool] = None) -> AotJit:
+    """Drop-in jax.jit replacement with the persistent executable cache."""
+    return AotJit(fn, name=name, static_argnames=static_argnames,
+                  enabled=enabled)

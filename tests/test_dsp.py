@@ -227,3 +227,47 @@ class TestEnvelopeUtils:
         assert merge_dictionaries([{"a": 1, "b": 2}, {"b": 3, "c": 4}]) == {
             "a": 1, "b": 5, "c": 4,
         }
+
+
+class TestPitchShiftBatch:
+    """Traced-semitone batched pitch shift (dsp/pitch.py::pitch_shift_batch)
+    vs the static-rate path."""
+
+    def test_dominant_frequency_and_parity(self):
+        import numpy as np
+        from diffusynth_tpu.dsp.pitch import pitch_shift, pitch_shift_batch
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        yb = jnp.stack([jnp.asarray(y)] * 3)
+        out = np.asarray(pitch_shift_batch(
+            yb, sr, jnp.asarray([12.0, -12.0, 0.0]), max_down_steps=24))
+
+        def dom(x):
+            X = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+            return np.argmax(X) * sr / len(x)
+
+        assert abs(dom(out[0]) - 880.0) < 5.0
+        assert abs(dom(out[1]) - 220.0) < 5.0
+        # zero shift is the identity (matches pitch_shift's n_steps==0)
+        np.testing.assert_array_equal(out[2], y)
+        # parity with the static program for a +7 shift
+        ref = np.asarray(pitch_shift(jnp.asarray(y), sr, 7))
+        got = np.asarray(pitch_shift_batch(
+            yb[:1], sr, jnp.asarray([7.0]), max_down_steps=24))[0]
+        corr = np.corrcoef(ref, got)[0, 1]
+        assert corr > 0.999, corr
+
+    def test_one_program_many_semitones(self):
+        """Distinct semitone values reuse ONE compiled program."""
+        from diffusynth_tpu.dsp.pitch import pitch_shift_batch
+
+        sr = 16000
+        y = jnp.ones((2, sr // 4), jnp.float32)
+        sizes0 = pitch_shift_batch._cache_size()
+        pitch_shift_batch(y, sr, jnp.asarray([3.0, -5.0]))
+        after_first = pitch_shift_batch._cache_size()
+        pitch_shift_batch(y, sr, jnp.asarray([9.0, -17.0]))
+        assert pitch_shift_batch._cache_size() == after_first
+        assert after_first == sizes0 + 1
