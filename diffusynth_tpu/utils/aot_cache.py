@@ -93,10 +93,10 @@ class AotJit:
         # ~0.3 MB/s (measured 285 s for an 83 MB U-Net forward vs a 29 s
         # fresh compile) — a net loss. Opt in with DIFFUSYNTH_AOT_CACHE=force.
         try:
-            plat = jax.devices()[0].client.platform
+            ver = jax.devices()[0].client.platform_version
         except Exception:  # noqa: BLE001
-            plat = backend
-        if plat == "axon":
+            ver = ""
+        if "axon" in ver:
             return os.environ.get("DIFFUSYNTH_AOT_CACHE") == "force"
         return True
 
