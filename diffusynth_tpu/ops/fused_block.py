@@ -264,12 +264,14 @@ def convnext_body_reference(
     def conv(x, w, stride=1, pad=1, groups=1):
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        # No preferred_element_type: its transpose rule feeds the f32
+        # cotangent into a bf16 conv and fails under autodiff (hit by the
+        # TPU custom_vjp backward); upcast the output instead.
         return jax.lax.conv_general_dilated(
             x.astype(dtype), w.astype(dtype), (stride, stride),
             ((pad, pad), (pad, pad)), dimension_numbers=dn,
             feature_group_count=groups,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
 
     x1 = h + temb_vec[:, None, None, :].astype(dtype)
     if norm and stats is not None:

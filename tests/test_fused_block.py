@@ -254,3 +254,45 @@ class TestExternalStats:
                             use_pallas=False)
         np.testing.assert_allclose(np.asarray(ext), np.asarray(base),
                                    atol=5e-5, rtol=1e-4)
+
+
+class TestTrainingDtypes:
+    def test_grad_through_reference_bf16(self):
+        """Regression: bf16 activations + f32 params must differentiate
+        (the TPU custom_vjp backward runs the reference body with exactly
+        this dtype mix; lax.conv with preferred_element_type=f32 breaks
+        its transpose rule there)."""
+        a, k = _convnext_args(jax.random.PRNGKey(11), B=1, H=8, W=8,
+                              C=16, D=24, Co=16)
+        h16 = a["h"].astype(jnp.bfloat16)
+        x16 = a["xres"].astype(jnp.bfloat16)
+        t16 = a["t"].astype(jnp.bfloat16)
+        wres = jax.random.normal(k, (1, 1, 16, 16)) * 0.05
+        bres = jnp.zeros((16,))
+
+        def loss(w1):
+            out = convnext_body_reference(
+                h16, t16, x16, a["g1s"], a["g1b"], w1, a["b1"], a["g2s"],
+                a["g2b"], a["w2"], a["b2"], wres, bres)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(a["w1"])
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    def test_fused_bwd_wrapper_mixed_dtypes(self):
+        """The custom_vjp bwd path itself, with interpret-mode forward."""
+        from diffusynth_tpu.ops.fused_block import _fused_bwd
+
+        a, _ = _convnext_args(jax.random.PRNGKey(12), B=1, H=8, W=8,
+                              C=16, D=24, Co=16)
+        h16 = a["h"].astype(jnp.bfloat16)
+        residuals = (h16, a["t"].astype(jnp.bfloat16),
+                     a["xres"].astype(jnp.bfloat16),
+                     jnp.zeros((1,)), jnp.zeros((1,)),
+                     a["g1s"], a["g1b"], a["w1"], a["b1"], a["g2s"],
+                     a["g2b"], a["w2"], a["b2"], None, None)
+        grad = jnp.ones((1, 8, 8, 16), jnp.bfloat16)
+        grads = _fused_bwd(8, 8, True, 1e-5, 8 * 8 * 16, 8 * 8 * 24, False,
+                           residuals, grad)
+        assert len(grads) == 15
+        assert np.isfinite(np.asarray(grads[7], np.float32)).all()  # w1
