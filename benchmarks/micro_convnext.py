@@ -102,6 +102,29 @@ def main():
             print(f"  FUSED pallas FAILED: {type(e).__name__}: {e}",
                   flush=True)
 
+        # bigmm conv mode (single chunked matmul + shifted adds).
+        import os
+
+        os.environ["DIFFUSYNTH_CONV_MODE"] = "bigmm"
+        try:
+            fused2 = jax.jit(lambda a, w=wresp, b=bresp: _pallas_forward(
+                a["h"], a["t"], a["xres"], a["g1s"], a["g1b"], a["w1"],
+                a["b1"], a["g2s"], a["g2b"], a["w2"], a["b2"], w, b,
+                H=H, W=W, norm=True, eps=1e-5,
+                n1=H * W * Cp, n2=H * W * Dp, interpret=False))
+            ms = device_time_ms(lambda: fused2(ap), iters=10)
+            print(f"  FUSED pallas (bigmm)           {ms:8.3f} ms",
+                  flush=True)
+            import numpy as np
+            g2 = np.asarray(fused2(ap), np.float32)
+            print(f"  bigmm max-err vs padded ref: "
+                  f"{np.abs(np.asarray(refp(ap), np.float32) - g2).max():.3e}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  bigmm FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            os.environ.pop("DIFFUSYNTH_CONV_MODE", None)
+
 
 if __name__ == "__main__":
     main()

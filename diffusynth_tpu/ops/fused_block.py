@@ -28,6 +28,7 @@ tanh-approximate GELU, bf16 matmul inputs with f32 accumulation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -37,6 +38,44 @@ import numpy as np
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_pf32(x, w, stride: int, pad: int, groups: int):
+    """conv_general_dilated with f32-accumulated output AND a working
+    gradient. preferred_element_type=f32 over bf16 operands is the faster
+    forward (measured 12.5 vs 13.1 s on the batch-64 sampling run) but its
+    transpose rule fails under autodiff (f32 cotangent into a bf16 conv);
+    the backward therefore differentiates the cast-based formulation."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_pf32_ref(x, w, stride: int, pad: int, groups: int):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=dn, feature_group_count=groups,
+    ).astype(jnp.float32)
+
+
+def _conv_pf32_fwd(x, w, stride, pad, groups):
+    return _conv_pf32(x, w, stride, pad, groups), (x, w)
+
+
+def _conv_pf32_bwd(stride, pad, groups, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, w: _conv_pf32_ref(x, w, stride, pad, groups),
+                     x, w)
+    return vjp(g)
+
+
+_conv_pf32.defvjp(_conv_pf32_fwd, _conv_pf32_bwd)
 
 
 def _sum_and_sumsq_bf16(x, chunk: int = 2048):
@@ -60,9 +99,10 @@ def _moments(s1, s2, n: int, eps: float):
 def _convnext_kernel(
     h_ref, t_ref, xres_ref, stats_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     g2s_ref, g2b_ref, w2_ref, b2_ref, wres_ref, bres_ref,
-    o_ref, ypad_ref, ypad2_ref,
-    *, H: int, W: int, P: int, eps: float, norm: bool,
+    o_ref, ypad_ref, ypad2_ref, *scratch,
+    H: int, W: int, P: int, eps: float, norm: bool,
     has_res_conv: bool, n1: int, n2: int, external_stats: bool,
+    conv_mode: str = "taps",
 ):
     """One batch element: GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3
     -> + residual. All activations VMEM-resident. With external_stats the
@@ -70,7 +110,11 @@ def _convnext_kernel(
     them for free in its epilogue) instead of an in-VMEM pass."""
     HW = H * W
     C = h_ref.shape[-1]
-    D = w1_ref.shape[-1]
+    if conv_mode == "bigmm":
+        D = w1_ref.shape[-1] // 9
+        acc1_ref, acc2_ref = scratch
+    else:
+        D = w1_ref.shape[-1]
 
     x1 = h_ref[0] + jnp.broadcast_to(t_ref[0, 0], (HW, C))  # (HW, C) bf16
 
@@ -101,7 +145,7 @@ def _convnext_kernel(
     mask_l = (j > 0).astype(y.dtype)       # tap needs col j-1 >= 0
     mask_r = (j < W - 1).astype(y.dtype)   # tap needs col j+1 <= W-1
 
-    def conv3x3(src_ref, w_ref, bias_ref):
+    def conv3x3_taps(src_ref, w_ref, bias_ref):
         cin = src_ref.shape[-1]
         cout = w_ref.shape[-1]
         acc = jnp.broadcast_to(
@@ -121,8 +165,50 @@ def _convnext_kernel(
             )
         return acc
 
+    mask_l32 = mask_l.astype(jnp.float32)
+    mask_r32 = mask_r.astype(jnp.float32)
+
+    def conv3x3_bigmm(src_ref, wcat_ref, bias_ref, acc_ref):
+        """ONE uninterrupted (chunked) matmul src @ [w_tap0|...|w_tap8],
+        then 9 shifted VMEM adds of the result slices — keeps the MXU busy
+        instead of serializing a VPU mask/relayout before each tap."""
+        cout = wcat_ref.shape[-1] // 9
+        HWp = src_ref.shape[0]
+        acc_ref[...] = jnp.broadcast_to(
+            bias_ref[0].astype(jnp.float32), (HW, cout))
+        Mc = min(2048, HWp)
+        for c0 in range(0, HWp, Mc):
+            mc = min(Mc, HWp - c0)
+            out9 = jax.lax.dot_general(
+                src_ref[c0:c0 + mc, :], wcat_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (mc, 9*cout)
+            for tap in range(9):
+                di, dj = tap // 3 - 1, tap % 3 - 1
+                s = P + di * W + dj
+                n0 = max(0, c0 - s)
+                n1_ = min(HW, c0 + mc - s)
+                if n1_ <= n0:
+                    continue
+                r0 = n0 + s - c0
+                contrib = out9[r0:r0 + (n1_ - n0),
+                               tap * cout:(tap + 1) * cout]
+                if dj < 0:
+                    contrib = contrib * mask_l32[n0:n1_]
+                elif dj > 0:
+                    contrib = contrib * mask_r32[n0:n1_]
+                acc_ref[n0:n1_, :] += contrib
+        return acc_ref[...]
+
+    if conv_mode == "bigmm":
+        conv1 = lambda: conv3x3_bigmm(ypad_ref, w1_ref, b1_ref, acc1_ref)  # noqa: E731
+        conv2 = lambda: conv3x3_bigmm(ypad2_ref, w2_ref, b2_ref, acc2_ref)  # noqa: E731
+    else:
+        conv1 = lambda: conv3x3_taps(ypad_ref, w1_ref, b1_ref)  # noqa: E731
+        conv2 = lambda: conv3x3_taps(ypad2_ref, w2_ref, b2_ref)  # noqa: E731
+
     # --- conv1 (C -> D) + GELU (f32) + GN2 + normalize.
-    g = jax.nn.gelu(conv3x3(ypad_ref, w1_ref, b1_ref))
+    g = jax.nn.gelu(conv1())
     gs1 = jnp.sum(g)
     gs2 = jnp.sum(g * g)
     m2, inv2 = _moments(gs1, gs2, n2, eps)
@@ -135,7 +221,7 @@ def _convnext_kernel(
     ypad2_ref[P:P + HW, :] = y2
 
     # --- conv2 (D -> Co) + residual.
-    acc2 = conv3x3(ypad2_ref, w2_ref, b2_ref)
+    acc2 = conv2()
     if has_res_conv:
         res = jax.lax.dot_general(
             xres_ref[0], wres_ref[...], (((1,), (0,)), ((), ())),
@@ -160,11 +246,19 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     P = _round_up(W + 1, 16)
     has_res_conv = wres is not None
     dtype = h.dtype
+    conv_mode = os.environ.get("DIFFUSYNTH_CONV_MODE", "taps")
 
     h2 = h.reshape(B, HW, C)
     xres2 = xres.reshape(B, HW, Cr)
-    w1f = w1.reshape(9 * C, D).astype(dtype)
-    w2f = w2.reshape(9 * D, Co).astype(dtype)
+    if conv_mode == "bigmm":
+        # Tap-concatenated layout: (cin, 9*cout).
+        w1f = w1.reshape(9, C, D).transpose(1, 0, 2).reshape(
+            C, 9 * D).astype(dtype)
+        w2f = w2.reshape(9, D, Co).transpose(1, 0, 2).reshape(
+            D, 9 * Co).astype(dtype)
+    else:
+        w1f = w1.reshape(9 * C, D).astype(dtype)
+        w2f = w2.reshape(9 * D, Co).astype(dtype)
     if has_res_conv:
         wresf = wres.reshape(Cr, Co).astype(dtype)
         bresf = bres.reshape(1, Co).astype(dtype)
@@ -183,7 +277,7 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     kern = functools.partial(
         _convnext_kernel, H=H, W=W, P=P, eps=eps, norm=norm,
         has_res_conv=has_res_conv, n1=n1, n2=n2,
-        external_stats=external_stats,
+        external_stats=external_stats, conv_mode=conv_mode,
     )
     const = lambda b: (0, 0)  # noqa: E731
 
@@ -201,11 +295,11 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * C, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1f.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * D, Co), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2f.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Co), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(wresf.shape, const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wresf.shape[-1]), const,
@@ -217,7 +311,9 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
         scratch_shapes=[
             pltpu.VMEM((HW + 2 * P, C), dtype),
             pltpu.VMEM((HW + 2 * P, D), dtype),
-        ],
+        ] + ([pltpu.VMEM((HW, D), jnp.float32),
+              pltpu.VMEM((HW, Co), jnp.float32)]
+             if conv_mode == "bigmm" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -262,16 +358,8 @@ def convnext_body_reference(
             bias.astype(jnp.float32)
 
     def conv(x, w, stride=1, pad=1, groups=1):
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        # No preferred_element_type: its transpose rule feeds the f32
-        # cotangent into a bf16 conv and fails under autodiff (hit by the
-        # TPU custom_vjp backward); upcast the output instead.
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype), w.astype(dtype), (stride, stride),
-            ((pad, pad), (pad, pad)), dimension_numbers=dn,
-            feature_group_count=groups,
-        ).astype(jnp.float32)
+        return _conv_pf32(x.astype(dtype), w.astype(dtype), stride, pad,
+                          groups)
 
     x1 = h + temb_vec[:, None, None, :].astype(dtype)
     if norm and stats is not None:
