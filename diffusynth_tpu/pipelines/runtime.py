@@ -51,7 +51,7 @@ class DiffuSynthRuntime:
         text_encoder=None,
         seed: int = 0,
         mesh=None,
-        loop_mode: str = "scan",
+        loop_mode: str = "python",
     ):
         """mesh: optional jax.sharding.Mesh - batched generation (timbres,
         MIDI notes) shards its batch axis over it (DP over ICI)."""
