@@ -113,14 +113,14 @@ def pitch_shift(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sample_rate", "max_down_steps", "bins_per_octave",
+    static_argnames=("sample_rate", "max_up_steps", "bins_per_octave",
                      "n_fft"),
 )
 def pitch_shift_batch(
     y: jnp.ndarray,
     sample_rate: int,
     n_steps: jnp.ndarray,
-    max_down_steps: int = 36,
+    max_up_steps: int = 36,
     bins_per_octave: int = 12,
     n_fft: int = 4096,
 ) -> jnp.ndarray:
@@ -130,14 +130,18 @@ def pitch_shift_batch(
     pitch_shift() compiles one program per distinct n_steps (static shapes
     from the stretch rate) — the dominant track-render cold-start cost
     (one ~25 s remote compile per semitone present in the MIDI). Here the
-    vocoder runs over a fixed frame budget sized for max_down_steps
-    (invalid frames masked), anti-aliasing for downward shifts is a
-    traced-cutoff mask in the frequency domain (replacing the static
-    path's resample filter), and the final un-stretch is a traced-position
-    linear interpolation back onto the original sample grid.
+    vocoder runs over a fixed frame budget sized for max_up_steps — an
+    UPWARD shift of n semitones stretches to rate 2^(-n/12) < 1, i.e.
+    needs F * 2^(n/12) output frames (invalid frames masked; downward
+    shifts need fewer frames than F and always fit). Anti-aliasing for the
+    decimating un-stretch of upward shifts is a traced-cutoff mask in the
+    frequency domain (replacing the static path's resample filter), and
+    the final un-stretch is a traced-position linear interpolation back
+    onto the original sample grid.
 
-    y: (B, n); n_steps: (B,) float semitones (positive = up). Shifts whose
-    |n_steps| < 1e-6 return the input unchanged (matching pitch_shift).
+    y: (B, n); n_steps: (B,) float semitones (positive = up), required to
+    be <= max_up_steps for full-length output. Shifts whose |n_steps| <
+    1e-6 return the input unchanged (matching pitch_shift).
     """
     B, n = y.shape
     hop = n_fft // 4
@@ -145,7 +149,7 @@ def pitch_shift_batch(
 
     D = stft(y, n_fft=n_fft, hop_length=hop, win_length=n_fft)  # (B, nb, F)
     nb, F = D.shape[-2], D.shape[-1]
-    budget = int(np.ceil(F * 2.0 ** (max_down_steps / bins_per_octave))) + 1
+    budget = int(np.ceil(F * 2.0 ** (max_up_steps / bins_per_octave))) + 1
 
     phi_advance = jnp.asarray(
         np.linspace(0, np.pi * hop, nb, dtype=np.float32))
@@ -175,8 +179,9 @@ def pitch_shift_batch(
              jnp.cumsum(inc[:, :-1], axis=1)], axis=1)
         D2 = jax.lax.complex(m * jnp.cos(acc), m * jnp.sin(acc))
 
-        # Anti-alias for downward shifts (the final interp downsamples by
-        # 1/ri when ri < 1): brick-wall at ri * nyquist.
+        # Anti-alias for UPWARD shifts (ri < 1): the final interp samples
+        # the stretched signal at stride 1/ri > 1 (decimation), so
+        # brick-wall at ri * nyquist first.
         k = jnp.arange(nb, dtype=jnp.float32) / (nb - 1)
         D2 = D2 * (k[:, None] <= jnp.minimum(ri, 1.0) + 1e-6)
 

@@ -211,8 +211,15 @@ class TrackRenderPipeline:
             while len(bases) < B:           # pad to a fixed batch bucket
                 bases.append(bases[-1])
                 semis_v.append(semis_v[-1])
+            # The vocoder's frame budget must cover the largest UPWARD
+            # shift (it needs F * 2^(n/12) frames); size it from the notes
+            # actually present, bucketed to octaves to bound recompiles.
+            # semis = note - 52, so MIDI notes above 88 exceed the 36
+            # default (advisor finding r1).
+            max_up = max(36, 12 * int(np.ceil(max(semis_v) / 12.0)))
             shifted = np.asarray(pitch_shift_batch(
-                jnp.asarray(np.stack(bases)), sr, jnp.asarray(semis_v)))
+                jnp.asarray(np.stack(bases)), sr, jnp.asarray(semis_v),
+                max_up_steps=max_up))
             for k, (key, _) in enumerate(entries):
                 results[key] = shifted[k]
         for key, idxs in groups.items():

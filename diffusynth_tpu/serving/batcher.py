@@ -84,6 +84,12 @@ class MicroBatcher:
             for req in requeue:
                 self._queue.put(req)
 
+            # Queue wait = enqueue -> batch dispatch, captured BEFORE the
+            # batch executes (it used to include execution time; advisor
+            # finding r1). Averaged over the batch so it isn't just the
+            # first request's wait.
+            now = time.monotonic()
+            queue_wait_s = sum(now - r.enqueued_at for r in batch) / len(batch)
             try:
                 results = self._run_batch(
                     first.signature, [r.payload for r in batch])
@@ -99,7 +105,7 @@ class MicroBatcher:
                 if self.metrics is not None:
                     self.metrics.record_batch(
                         merged=len(batch), executed=len(batch),
-                        queue_wait_s=time.monotonic() - first.enqueued_at)
+                        queue_wait_s=queue_wait_s)
                 for req in batch:
                     req.event.set()
 

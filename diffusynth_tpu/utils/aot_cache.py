@@ -51,15 +51,40 @@ def cache_dir() -> Path:
     return Path.home() / ".cache" / "diffusynth_tpu" / "aot"
 
 
-def _abstract_signature(args, kwargs) -> Tuple:
+def _abstract_signature(args, static_kwargs) -> Tuple:
+    """Shape/dtype key for dynamic args; value key for static kwargs.
+
+    Python numeric leaves in `args` are TRACED by jax.jit (weak-typed), so
+    they key by type, not value — keying by repr would lower a fresh
+    program per distinct scalar where plain jit reuses one (advisor
+    finding r1). Static kwargs key by value, as jit itself does.
+    """
     def describe(leaf):
         if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
             return ("arr", tuple(leaf.shape), str(leaf.dtype))
+        if isinstance(leaf, (bool, int, float, complex)):
+            return ("num", type(leaf).__name__)
         return ("py", repr(leaf))
 
-    leaves, treedef = jax.tree_util.tree_flatten((args, tuple(sorted(
-        kwargs.items()))))
-    return (str(treedef), tuple(describe(x) for x in leaves))
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    static = tuple((k, repr(v)) for k, v in sorted(static_kwargs.items()))
+    return (str(treedef), tuple(describe(x) for x in leaves), static)
+
+
+def _execution_devices(compiled) -> list:
+    """Device set a jax.stages.Compiled executable was built for (union of
+    its input/output sharding device sets), in stable id order."""
+    devs = set()
+    try:
+        leaves = (jax.tree_util.tree_leaves(compiled.input_shardings)
+                  + jax.tree_util.tree_leaves(compiled.output_shardings))
+        for s in leaves:
+            devs |= set(getattr(s, "device_set", ()) or ())
+    except Exception:  # noqa: BLE001
+        pass
+    if not devs:
+        return list(jax.devices()[:1])
+    return sorted(devs, key=lambda d: d.id)
 
 
 class AotJit:
@@ -149,10 +174,11 @@ class AotJit:
             try:
                 t0 = time.time()
                 with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.load(f)
+                    payload, in_tree, out_tree, dev_ids = pickle.load(f)
+                by_id = {d.id: d for d in jax.devices()}
                 loaded = se.deserialize_and_load(
                     payload, in_tree, out_tree,
-                    execution_devices=jax.devices()[:1])
+                    execution_devices=[by_id[i] for i in dev_ids])
                 self.stats["hits"] += 1
                 print(f"[aot-cache] {self._name}: loaded {path.name} "
                       f"in {time.time()-t0:.1f}s (no compile)", flush=True)
@@ -166,10 +192,15 @@ class AotJit:
         self.stats["misses"] += 1
         try:
             payload, in_tree, out_tree = se.serialize(compiled)
+            # Record the device assignment the program was compiled for —
+            # e.g. the sampler scan compiled batch-sharded over a mesh must
+            # reload onto the same device set, not devices()[:1] (advisor
+            # finding r1).
+            dev_ids = [d.id for d in _execution_devices(compiled)]
             path.parent.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp-%d" % os.getpid())
             with open(tmp, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree), f)
+                pickle.dump((payload, in_tree, out_tree, dev_ids), f)
             tmp.replace(path)
             print(f"[aot-cache] {self._name}: compiled in "
                   f"{time.time()-t0:.1f}s, cached {len(payload)/1e6:.1f} MB "

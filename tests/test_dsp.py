@@ -242,7 +242,7 @@ class TestPitchShiftBatch:
         y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
         yb = jnp.stack([jnp.asarray(y)] * 3)
         out = np.asarray(pitch_shift_batch(
-            yb, sr, jnp.asarray([12.0, -12.0, 0.0]), max_down_steps=24))
+            yb, sr, jnp.asarray([12.0, -12.0, 0.0]), max_up_steps=24))
 
         def dom(x):
             X = np.abs(np.fft.rfft(x * np.hanning(len(x))))
@@ -255,7 +255,7 @@ class TestPitchShiftBatch:
         # parity with the static program for a +7 shift
         ref = np.asarray(pitch_shift(jnp.asarray(y), sr, 7))
         got = np.asarray(pitch_shift_batch(
-            yb[:1], sr, jnp.asarray([7.0]), max_down_steps=24))[0]
+            yb[:1], sr, jnp.asarray([7.0]), max_up_steps=24))[0]
         corr = np.corrcoef(ref, got)[0, 1]
         assert corr > 0.999, corr
 
@@ -271,3 +271,23 @@ class TestPitchShiftBatch:
         pitch_shift_batch(y, sr, jnp.asarray([9.0, -17.0]))
         assert pitch_shift_batch._cache_size() == after_first
         assert after_first == sizes0 + 1
+
+
+    def test_high_up_shift_keeps_energy(self):
+        """Upward shifts need F * 2^(n/12) vocoder frames; a +40 shift with
+        a properly sized budget must not zero the tail (advisor finding r1:
+        the budget was sized by the wrong direction's parameter)."""
+        import numpy as np
+        from diffusynth_tpu.dsp.pitch import pitch_shift_batch
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        y = np.sin(2 * np.pi * 110 * t).astype(np.float32)
+        out = np.asarray(pitch_shift_batch(
+            jnp.asarray(y)[None], sr, jnp.asarray([40.0]), max_up_steps=48))[0]
+        n = len(y)
+        head = float(np.sqrt(np.mean(out[: n // 4] ** 2)))
+        tail = float(np.sqrt(np.mean(out[-n // 4:] ** 2)))
+        assert head > 1e-3, head
+        # The tail must carry comparable energy, not silence.
+        assert tail > 0.2 * head, (head, tail)
