@@ -33,6 +33,11 @@ def _sampler(loop_mode, cfg=None):
     ("sample", 3.0, "ddim"),
     ("sample", None, "ddpm"),
     ("inpaint", None, "ddim"),
+    ("inpaint_static", None, "ddim"),
+    ("inpaint", 2.0, "ddpm"),
+    ("img2img", None, "ddim"),
+    ("img2img", 4.0, "ddpm"),
+    ("interpolate", None, "ddim"),
 ])
 def test_python_loop_matches_scan(mode, cfg, sampler_name):
     shape = (2, H, 24, C)
@@ -44,10 +49,27 @@ def test_python_loop_matches_scan(mode, cfg, sampler_name):
         if mode == "sample":
             out, _ = s.sample(None, shape, key, condition=cond,
                               sampler=sampler_name)
+        elif mode == "img2img":
+            guide = jnp.full((2, H, TRAIN_W, C), 0.5)
+            out, _ = s.img_guided_sample(None, shape, key, 0.75, guide,
+                                         condition=cond,
+                                         sampler=sampler_name)
+        elif mode == "inpaint_static":
+            guide = jnp.full((2, H, TRAIN_W, C), 0.5)
+            mask = (jnp.arange(24) < 8).astype(jnp.float32)
+            mask = jnp.broadcast_to(mask.reshape(1, 1, 24, 1),
+                                    (1, H, 24, 1))
+            out, _ = s.inpaint_sample(None, shape, key, 1.0, guide,
+                                      mask=mask, condition=cond,
+                                      sampler=sampler_name)
+        elif mode == "interpolate":
+            out, _ = s.interpolate(None, shape, key, condition=cond,
+                                   sampler=sampler_name)
         else:
             guide = jnp.full((2, H, TRAIN_W, C), 0.5)
             out, _ = s.inpaint_sample(None, shape, key, 1.0, guide,
                                       condition=cond, use_dynamic_mask=True,
-                                      mask_flexivity=1.0)
+                                      mask_flexivity=1.0,
+                                      sampler=sampler_name)
         outs[lm] = np.asarray(out)
     np.testing.assert_allclose(outs["python"], outs["scan"], atol=1e-5)
