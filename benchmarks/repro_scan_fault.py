@@ -69,7 +69,7 @@ def sampler_b64_uncond():
     from diffusynth_tpu.configs import AppConfig
     from diffusynth_tpu.pipelines import DiffuSynthRuntime
 
-    rt = DiffuSynthRuntime(AppConfig())
+    rt = DiffuSynthRuntime(AppConfig(), loop_mode="scan")
     s = rt.make_sampler()
     s.respace(list(range(0, 1000, 200)))  # 5 steps
     latents, _ = s.sample(rt.unet_variables, (64, 128, 64, 4),
@@ -82,6 +82,9 @@ CASES = {
     "scan_b64_cond": lambda: unet_scan(64, True, 5, None),
     "scan_b64_uncond_nofused": lambda: unet_scan(64, False, 5, False),
     "scan_b32_uncond": lambda: unet_scan(32, False, 5, None),
+    "scan_b48_uncond": lambda: unet_scan(48, False, 5, None),
+    "scan_b96_uncond": lambda: unet_scan(96, False, 5, None),
+    "scan_b128_uncond": lambda: unet_scan(128, False, 5, None),
     "scan_b64_uncond_k2": lambda: unet_scan(64, False, 2, None),
     "fwd_b64_uncond": lambda: unet_fwd(64, False, None),
     "sampler_b64_uncond": sampler_b64_uncond,

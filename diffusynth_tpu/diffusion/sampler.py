@@ -30,6 +30,37 @@ from diffusynth_tpu.diffusion import noise as noise_lib
 from diffusynth_tpu.diffusion.schedule import Schedule, q_sample
 
 
+def _axon_backend() -> bool:
+    try:
+        return "axon" in jax.devices()[0].client.platform_version
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _known_bad_scan_signature(batch: int, cfg_on: bool,
+                              n_steps_exec: int) -> bool:
+    """Scan signatures that fault the device on the axon remote compiler.
+
+    History (docs/SCAN_FAULT.md): round 1 observed UNAVAILABLE "kernel
+    fault" for the unconditional batch-64 width-64 sampling scan; the
+    2026-08-17 bisect sweep (benchmarks/repro_scan_fault.py, one case per
+    process) could no longer reproduce it at ANY of b32/48/64/96/128,
+    cond/uncond, k2/k5, fused on/off — the backend was evidently fixed.
+    The default denylist is therefore EMPTY; the fence stays wired so a
+    regression can be fenced without code changes via
+    DIFFUSYNTH_BAD_SCAN_BATCHES=64,96 (effective unet batch: CFG doubles
+    the sampler batch).
+    """
+    del n_steps_exec  # the r1 fault was length-independent
+    import os
+
+    raw = os.environ.get("DIFFUSYNTH_BAD_SCAN_BATCHES", "")
+    if not raw:
+        return False
+    bad = {int(v) for v in raw.split(",") if v.strip()}
+    return batch * (2 if cfg_on else 1) in bad
+
+
 class DiffSynthSampler:
     """Sampling engine over a (respaced) diffusion schedule.
 
@@ -209,12 +240,26 @@ class DiffSynthSampler:
             )
             return final, traj
 
-        if self.loop_mode == "python":
+        use_python = self.loop_mode == "python"
+        if (not use_python and _axon_backend()
+                and _known_bad_scan_signature(batch, cfg_on, n_steps_exec)):
+            import warnings
+            warnings.warn(
+                f"loop_mode='scan' requested for a signature known to fault "
+                f"the axon compiler (effective batch "
+                f"{batch * (2 if cfg_on else 1)}); falling back to the "
+                f"equivalence-tested python step loop "
+                f"(benchmarks/repro_scan_fault.py, docs/SCAN_FAULT.md)",
+                stacklevel=3,
+            )
+            use_python = True
+
+        if use_python:
             # Workaround path: the axon AOT compiler faults on the fused
-            # scan for some (batch, width) combinations (observed:
-            # unconditional batch-64 at width 64 on v5e) while the identical
-            # per-step program runs fine. Same math, one jitted step,
-            # host-driven loop.
+            # scan for some signatures (docs/SCAN_FAULT.md) while the
+            # identical per-step program runs fine. Same math, one jitted
+            # step, host-driven loop; async dispatch matches the scan's
+            # steady state (measured 12.41 vs 12.47 s p50 b64).
             def _body_impl(params, img, i, mask_w, step_key, cond, uncond,
                            guide, init_noise, static_mask):
 

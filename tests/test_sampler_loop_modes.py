@@ -73,3 +73,34 @@ def test_python_loop_matches_scan(mode, cfg, sampler_name):
                                       sampler=sampler_name)
         outs[lm] = np.asarray(out)
     np.testing.assert_allclose(outs["python"], outs["scan"], atol=1e-5)
+
+
+def test_bad_scan_signature_fence(monkeypatch):
+    """With a denylisted effective batch, scan requests fall back to the
+    python loop with a warning and identical results (docs/SCAN_FAULT.md)."""
+    import warnings
+
+    from diffusynth_tpu.diffusion import sampler as sampler_mod
+
+    monkeypatch.setenv("DIFFUSYNTH_BAD_SCAN_BATCHES", "4")
+    monkeypatch.setattr(sampler_mod, "_axon_backend", lambda: True)
+    shape = (2, H, 24, C)
+    cond = jnp.ones((2, 8))
+    key = jax.random.key(0)
+    s = _sampler("scan", cfg=3.0)   # batch 2 * CFG double = effective 4
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out, _ = s.sample(None, shape, key, condition=cond)
+        assert any("known to fault" in str(x.message) for x in w), (
+            [str(x.message) for x in w])
+    ref, _ = _sampler("python", cfg=3.0).sample(None, shape, key,
+                                                condition=cond)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # Without the env var the scan path is untouched (no warning).
+    monkeypatch.delenv("DIFFUSYNTH_BAD_SCAN_BATCHES")
+    s2 = _sampler("scan", cfg=3.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s2.sample(None, shape, key, condition=cond)
+        assert not any("known to fault" in str(x.message) for x in w)
