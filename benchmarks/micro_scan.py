@@ -41,8 +41,10 @@ def main():
     for name, overrides in variants:
         c = dataclasses.replace(cfg, **overrides)
         model = ConditionedUnet(c, dtype=jnp.bfloat16)
-        params = model.init(jax.random.PRNGKey(2),
-                            x[:1], t[:1], cond[:1])["params"]
+        # jitted init: unjitted flax init runs EAGERLY through the axon
+        # tunnel (minutes) — see .claude/skills/verify/SKILL.md.
+        params = jax.jit(model.init)(jax.random.PRNGKey(2),
+                                     x[:1], t[:1], cond[:1])["params"]
 
         def step_scan(p, x0):
             def body(carry, _):
