@@ -24,6 +24,8 @@ K = 5
 
 
 def main():
+    import sys
+
     print("devices:", jax.devices(), flush=True)
     B, H, W = 128, 128, 64
     cfg = UNetConfig()
@@ -38,6 +40,9 @@ def main():
         ("fused", dict(fused_kernels=None, channel_pad=False)),
         ("chain", dict(fused_kernels=None, channel_pad=True)),
     ]
+    if len(sys.argv) > 1:   # run only the named variants
+        want = set(sys.argv[1:])
+        variants = [v for v in variants if v[0] in want]
     for name, overrides in variants:
         c = dataclasses.replace(cfg, **overrides)
         model = ConditionedUnet(c, dtype=jnp.bfloat16)
@@ -81,6 +86,8 @@ def main():
         for opname, t_ms in top[2:22]:
             print(f"   {t_ms / K:7.3f} ms  {opname[:130]}", flush=True)
 
+    if "xla-only" not in results:
+        return
     base = results["xla-only"]
     for name in ("fused", "chain"):
         if name in results:

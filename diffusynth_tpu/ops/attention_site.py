@@ -56,8 +56,24 @@ def _attn_site_kernel(
     o_ref,
     *, F: int, dim_head: int, scale: float, eps: float, n: int,
 ):
+    """Processes x_ref.shape[0] samples per grid step (SB > 1 amortizes
+    the per-step launch/DMA overhead — per-sample steps measured ~10x the
+    site's traffic roofline at the small inner sites, RESULTS_r2.md)."""
+    for s in range(x_ref.shape[0]):
+        _attn_one_sample(
+            x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref, gpre_s_ref,
+            gpre_b_ref, gpost_s_ref, gpost_b_ref, o_ref, s,
+            F=F, dim_head=dim_head, scale=scale, eps=eps, n=n)
+
+
+def _attn_one_sample(
+    x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref,
+    gpre_s_ref, gpre_b_ref, gpost_s_ref, gpost_b_ref,
+    o_ref, s,
+    *, F: int, dim_head: int, scale: float, eps: float, n: int,
+):
     HW, C = x_ref.shape[-2], x_ref.shape[-1]
-    xb = x_ref[0]                                    # (HW, C) bf16
+    xb = x_ref[s]                                    # (HW, C) bf16
 
     # --- PreNorm (GN groups=1) over the real n elements.
     s1, s2 = _sum_and_sumsq_bf16(xb)
@@ -72,7 +88,7 @@ def _attn_site_kernel(
     qkv = jax.lax.dot_general(
         xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (HW, 3F) f32
-    lkq = lkq_ref[0, 0].astype(jnp.float32)          # (2F,)
+    lkq = lkq_ref[s, 0].astype(jnp.float32)          # (2F,)
     q = qkv[:, 0:F] + jnp.broadcast_to(lkq[F:2 * F], (HW, F))
     k = qkv[:, F:2 * F] + jnp.broadcast_to(lkq[0:F], (HW, F))
     v = qkv[:, 2 * F:3 * F]
@@ -114,7 +130,7 @@ def _attn_site_kernel(
     g2s = gpost_s_ref[0].astype(jnp.float32)
     g2b = gpost_b_ref[0].astype(jnp.float32)
     y = (out - m2) * (inv2 * g2s) + g2b
-    o_ref[0] = xb + y.astype(xb.dtype)
+    o_ref[s] = xb + y.astype(xb.dtype)
 
 
 def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
@@ -129,16 +145,28 @@ def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
     dtype = x.dtype
     x2 = x.reshape(B, HW, C)
 
+    # Samples per grid step: per-sample steps at the small inner sites are
+    # launch-overhead-bound (measured ~10x the traffic roofline,
+    # RESULTS_r2.md). Pick the largest SB whose x+out blocks plus one
+    # sample's f32 intermediates stay within ~10 MB of VMEM.
+    per_sample = HW * C * dtype.itemsize * 2          # x block + out block
+    inter = HW * (3 * F) * 4 * 2                      # qkv + softmax temps
+    SB = 1
+    for cand in (16, 8, 4, 2):
+        if B % cand == 0 and cand * per_sample + inter <= 10 * 2 ** 20:
+            SB = cand
+            break
+
     const = lambda b: (0, 0)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(
             _attn_site_kernel, F=F, dim_head=dim_head, scale=scale,
             eps=eps, n=n),
-        grid=(B,),
+        grid=(B // SB,),
         in_specs=[
-            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, HW, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * F), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, 1, 2 * F), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 3 * F), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((F, C), const, memory_space=pltpu.VMEM),
@@ -148,7 +176,7 @@ def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((SB, HW, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HW, C), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -184,7 +212,11 @@ def attention_site_reference(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
     n = n if n is not None else HW * C
 
     def gn(t, scale_v, bias_v):
-        t32 = t.astype(jnp.float32)
+        from diffusynth_tpu.ops.group_norm import stats_input
+
+        # stats_input: keep the stat reduce out of producer epilogues
+        # (measured 2x pessimization when fused; RESULTS_r2.md).
+        t32 = stats_input(t).astype(jnp.float32)
         s1 = jnp.sum(t32, axis=(1, 2), keepdims=True)
         s2 = jnp.sum(jnp.square(t32), axis=(1, 2), keepdims=True)
         m = s1 / n

@@ -104,10 +104,29 @@ def _convnext_kernel(
     has_res_conv: bool, n1: int, n2: int, external_stats: bool,
     conv_mode: str = "taps",
 ):
-    """One batch element: GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3
-    -> + residual. All activations VMEM-resident. With external_stats the
-    GN1 sums come from the producer (the XLA depthwise-conv fusion computes
-    them for free in its epilogue) instead of an in-VMEM pass."""
+    """SB batch elements per grid step (SB > 1 amortizes the per-step
+    launch/DMA overhead — per-sample steps measured far above the traffic
+    roofline at the small inner sites, RESULTS_r2.md): each sample runs
+    GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3 -> + residual with all
+    activations VMEM-resident. With external_stats the GN1 sums come from
+    the producer instead of an in-VMEM pass."""
+    for s in range(h_ref.shape[0]):
+        _convnext_one_sample(
+            h_ref, t_ref, xres_ref, stats_ref, g1s_ref, g1b_ref, w1_ref,
+            b1_ref, g2s_ref, g2b_ref, w2_ref, b2_ref, wres_ref, bres_ref,
+            o_ref, ypad_ref, ypad2_ref, *scratch, s=s, H=H, W=W, P=P,
+            eps=eps, norm=norm, has_res_conv=has_res_conv, n1=n1, n2=n2,
+            external_stats=external_stats, conv_mode=conv_mode)
+
+
+def _convnext_one_sample(
+    h_ref, t_ref, xres_ref, stats_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
+    g2s_ref, g2b_ref, w2_ref, b2_ref, wres_ref, bres_ref,
+    o_ref, ypad_ref, ypad2_ref, *scratch,
+    s: int, H: int, W: int, P: int, eps: float, norm: bool,
+    has_res_conv: bool, n1: int, n2: int, external_stats: bool,
+    conv_mode: str = "taps",
+):
     HW = H * W
     C = h_ref.shape[-1]
     if conv_mode == "bigmm":
@@ -116,13 +135,13 @@ def _convnext_kernel(
     else:
         D = w1_ref.shape[-1]
 
-    x1 = h_ref[0] + jnp.broadcast_to(t_ref[0, 0], (HW, C))  # (HW, C) bf16
+    x1 = h_ref[s] + jnp.broadcast_to(t_ref[s, 0], (HW, C))  # (HW, C) bf16
 
     # --- GN1 (stats over the real n1 elements) + normalize.
     if norm:
         if external_stats:
-            s1 = stats_ref[0, 0, 0]
-            s2 = stats_ref[0, 0, 1]
+            s1 = stats_ref[s, 0, 0]
+            s2 = stats_ref[s, 0, 1]
         else:
             s1, s2 = _sum_and_sumsq_bf16(x1)
         m, inv = _moments(s1, s2, n1, eps)
@@ -224,12 +243,12 @@ def _convnext_kernel(
     acc2 = conv2()
     if has_res_conv:
         res = jax.lax.dot_general(
-            xres_ref[0], wres_ref[...], (((1,), (0,)), ((), ())),
+            xres_ref[s], wres_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bres_ref[0].astype(jnp.float32)
     else:
-        res = xres_ref[0].astype(jnp.float32)
-    o_ref[0] = (acc2 + res).astype(o_ref.dtype)
+        res = xres_ref[s].astype(jnp.float32)
+    o_ref[s] = (acc2 + res).astype(o_ref.dtype)
 
 
 def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
@@ -281,17 +300,28 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     )
     const = lambda b: (0, 0)  # noqa: E731
 
+    # Samples per grid step: per-sample steps at small sites are
+    # launch-overhead-bound (RESULTS_r2.md). Keep blocks + one sample's
+    # f32 temps within ~10 MB of VMEM.
+    per_sample = HW * (C + Cr + Co) * h.dtype.itemsize
+    inter = HW * D * 4 * 2 + 2 * (HW + 2 * P) * (C + D) * h.dtype.itemsize
+    SB = 1
+    for cand in (16, 8, 4, 2):
+        if B % cand == 0 and cand * per_sample + inter <= 10 * 2 ** 20:
+            SB = cand
+            break
+
     out = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // SB,),
         in_specs=[
-            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, HW, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, 1, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HW, Cr), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, HW, Cr), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((SB, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
@@ -305,7 +335,7 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
             pl.BlockSpec((1, wresf.shape[-1]), const,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, HW, Co), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((SB, HW, Co), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HW, Co), dtype),
         scratch_shapes=[
@@ -348,7 +378,11 @@ def convnext_body_reference(
     n2 = n2 if n2 is not None else H * W * D
 
     def gn(x, scale, bias, n):
-        x32 = x.astype(jnp.float32)
+        from diffusynth_tpu.ops.group_norm import stats_input
+
+        # stats_input: keep the stat reduce OUT of the producing conv's
+        # epilogue (measured 2x pessimization when fused; RESULTS_r2.md).
+        x32 = stats_input(x).astype(jnp.float32)
         s1 = jnp.sum(x32, axis=(1, 2, 3), keepdims=True)
         s2 = jnp.sum(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
         m = s1 / n

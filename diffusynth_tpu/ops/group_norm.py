@@ -21,10 +21,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def gn_barrier_enabled() -> bool:
+    """Keep GN statistics OUT of producer epilogues (default OFF —
+    measured WORSE).
+
+    Round-2 experiment (benchmarks/RESULTS_r2.md): the step's top ops are
+    "convert_reduce_fusion"s — producers with the per-sample GN stat
+    reduce fused into their epilogue — at ~2x the bare producer's cost
+    (7.78 vs 3.89 ms for conv 96->192 at 128x64 b128), suggesting the
+    epilogue was pessimizing. Forcing the split with an optimization
+    barrier measured 266.5 vs 239.9 ms/step: the extra standalone passes
+    cost MORE than the epilogues — the fusions are net-beneficial, and
+    the residual cost is dominated by the depthwise convs hidden inside
+    them. Kept as DIFFUSYNTH_GN_BARRIER=1 for profiling (it exposes
+    unfused per-op costs).
+    """
+    import os
+
+    return os.environ.get("DIFFUSYNTH_GN_BARRIER") in ("1", "true")
+
+
+def stats_input(x: jnp.ndarray) -> jnp.ndarray:
+    """The tensor GN statistics should be computed FROM: behind an
+    optimization barrier when gn_barrier_enabled() (see above)."""
+    if gn_barrier_enabled():
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def group_norm_reference(x: jnp.ndarray, scale: jnp.ndarray,
                          bias: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Plain jnp layer-style GroupNorm(num_groups=1) over (B, ..., C)."""
-    x32 = x.astype(jnp.float32)
+    xb = stats_input(x)
+    x32 = xb.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
     m = jnp.mean(x32, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(m)

@@ -65,12 +65,15 @@ class DiffuSynthRuntime:
 
         key = jax.random.key(seed)
         k_vq, k_unet = jax.random.split(key)
+        # Inits MUST be jitted: unjitted flax init runs eagerly op-by-op
+        # through the axon tunnel (measured 459 s for this pair vs ~60 s
+        # jitted — benchmarks/cold_start.py r2).
         if vqgan_variables is None:
             x0 = jnp.zeros((1, a.freq_resolution, a.time_resolution, 3))
-            vqgan_variables = self.vqgan.init(k_vq, x0)
+            vqgan_variables = jax.jit(self.vqgan.init)(k_vq, x0)
         if unet_variables is None:
             z0 = jnp.zeros((1, a.latent_height, 8, a.channels))
-            unet_variables = self.unet.init(
+            unet_variables = jax.jit(self.unet.init)(
                 k_unet, z0, jnp.zeros(1, jnp.int32),
                 jnp.zeros((1, self.config.unet.label_emb_dim)),
             )

@@ -117,7 +117,7 @@ def train_multimodal(
 
     data0, attrs0 = next_unique_batch()
     tf0 = text_features_lookup(attrs0)
-    params = init_params or model.init(
+    params = init_params or jax.jit(model.init)(
         jax.random.key(seed), jnp.asarray(data0), jnp.asarray(tf0)
     )
     init_fn, step_fn = make_contrastive_train_step(

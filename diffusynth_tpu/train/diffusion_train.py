@@ -114,7 +114,7 @@ def train_diffusion_model(
     cond0 = condition_lookup(attrs0)
     if init_variables is None:
         key = jax.random.key(seed)
-        init_variables = unet.init(
+        init_variables = jax.jit(unet.init)(
             key, jnp.asarray(data0), jnp.zeros(data0.shape[0], jnp.int32),
             jnp.asarray(cond0),
         )

@@ -95,10 +95,10 @@ def train_gan(
     data0 = jnp.asarray(data0)
     key = jax.random.key(seed)
     k1, k2, key = jax.random.split(key, 3)
-    g_params = generator.init(
+    g_params = jax.jit(generator.init)(
         k1, data0, jnp.zeros(data0.shape[0], jnp.int32), cond0
     )
-    d_params = disc.init(k2, data0, cond0)
+    d_params = jax.jit(disc.init)(k2, data0, cond0)
     init_fn, step_fn = make_gan_train_steps(generator, disc, cfg)
     g_opt_state, d_opt_state = init_fn(g_params, d_params)
     if mesh is not None:

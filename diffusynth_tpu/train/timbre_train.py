@@ -95,7 +95,8 @@ def train_timbre_encoder(
     logger = logger or MetricLogger(f"runs/{cfg.model_name}_timbre_encoder")
 
     data0, _ = next(iterator)
-    params = init_params or model.init(jax.random.key(seed), jnp.asarray(data0))
+    params = init_params or jax.jit(model.init)(jax.random.key(seed),
+                                                jnp.asarray(data0))
     init_fn, step_fn = make_timbre_train_step(model, lr=cfg.lr)
     opt_state = init_fn(params)
     if mesh is not None:

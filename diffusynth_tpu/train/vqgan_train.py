@@ -144,8 +144,8 @@ def train_vqgan(
     data0 = jnp.asarray(data0)
     key = jax.random.key(seed)
     k1, k2 = jax.random.split(key)
-    g_vars = init_g_vars or vqgan.init(k1, data0)
-    d_params = init_d_params or disc.init(k2, data0)
+    g_vars = init_g_vars or jax.jit(vqgan.init)(k1, data0)
+    d_params = init_d_params or jax.jit(disc.init)(k2, data0)
 
     init_fn, step_fn = make_vqgan_train_step(vqgan, disc, cfg)
     g_opt_state, d_opt_state = init_fn(g_vars, d_params)
