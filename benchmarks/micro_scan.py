@@ -36,9 +36,8 @@ def main():
 
     results = {}
     variants = [
-        ("xla-only", dict(fused_kernels=False, channel_pad=False)),
-        ("fused", dict(fused_kernels=None, channel_pad=False)),
-        ("chain", dict(fused_kernels=None, channel_pad=True)),
+        ("xla-only", dict(fused_kernels=False)),
+        ("fused", dict(fused_kernels=None)),
     ]
     if len(sys.argv) > 1:   # run only the named variants
         want = set(sys.argv[1:])
@@ -89,7 +88,7 @@ def main():
     if "xla-only" not in results:
         return
     base = results["xla-only"]
-    for name in ("fused", "chain"):
+    for name in ("fused",):
         if name in results:
             print(f"\n{name}: max|diff vs xla| = "
                   f"{np.abs(base[1] - results[name][1]).max():.4f}, "

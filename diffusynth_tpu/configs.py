@@ -104,12 +104,6 @@ class UNetConfig(_JsonMixin):
     # Fused Pallas block/attention kernels: None = auto (TPU, where shapes
     # qualify), False = force the XLA formulation. See ops/fused_block.py.
     fused_kernels: Optional[bool] = None
-    # Channel-padded Pallas-chain execution (activations zero-padded to
-    # 128-lane multiples at rest so every fused kernel's DMA is aligned;
-    # see nn/padding.py). None/False = off (measured slower end-to-end,
-    # 432 vs 238 ms/step — RESULTS_kernel_fusion.md); True = opt in for
-    # kernel iteration.
-    channel_pad: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(self, "down_dims", tuple(self.down_dims))

@@ -316,11 +316,8 @@ class ConvNextBlock(nn.Module):
     use_fused: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, time_emb=None, segments=None):
+    def __call__(self, x, time_emb=None):
         from diffusynth_tpu.ops.fused_block import convnext_body
-
-        if segments is not None:
-            return self._padded_call(x, time_emb, segments)
 
         dim = x.shape[-1]
         hidden = self.dim_out * self.mult
@@ -352,64 +349,6 @@ class ConvNextBlock(nn.Module):
             h, t, x, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
             norm=self.norm, n1=H * W * dim, n2=H * W * hidden,
             use_pallas=self.use_fused)
-
-    def _padded_call(self, x, time_emb, segments):
-        """Channel-padded chain path: x is (B, H, W, total_pad(segments)),
-        real values in segment-aligned lanes (nn/padding.py). The depthwise
-        conv runs as a 49-shift XLA fusion that also emits the GN1 sums
-        (no convolution-layout churn between Pallas kernels); params stay
-        real-sized and are scattered to the padded lanes per call."""
-        from diffusynth_tpu.nn import padding as pdg
-        from diffusynth_tpu.ops.fused_block import (
-            convnext_body, dwconv7x7_gn_stats)
-
-        H, W = x.shape[1], x.shape[2]
-        hidden = self.dim_out * self.mult
-        rc = pdg.total_real(segments)
-        assert x.shape[-1] == pdg.total_pad(segments), (x.shape, segments)
-        out_segs = pdg.single(self.dim_out)
-        dtype = self.dtype if self.dtype is not None else x.dtype
-
-        wdw, bdw = ConvParams((7, 7, 1, rc), name="ds_conv")()
-        wdw_p = pdg.scatter_vec(wdw.reshape(7, 7, rc), segments)
-        bdw_p = pdg.scatter_vec(bdw, segments)
-        if time_emb is not None:
-            t = nn.Dense(rc, dtype=self.dtype, name="mlp_1")(
-                jax.nn.gelu(time_emb))
-            t_p = pdg.scatter_vec(t, segments)
-        else:
-            t_p = None
-        h, s1, s2 = dwconv7x7_gn_stats(
-            x.astype(dtype), wdw_p.astype(dtype), bdw_p, t_p)
-
-        if self.norm:
-            g1s, g1b = GNParams(rc, name="net_0")()
-            g1s_p = pdg.scatter_vec(g1s, segments)
-            g1b_p = pdg.scatter_vec(g1b, segments)
-        else:
-            g1s_p = jnp.ones((x.shape[-1],), jnp.float32)
-            g1b_p = jnp.zeros((x.shape[-1],), jnp.float32)
-        w1, b1 = ConvParams((3, 3, rc, hidden), name="net_1")()
-        w1_p = pdg.scatter_rows(w1, segments)
-        g2s, g2b = GNParams(hidden, name="net_3")()
-        w2, b2 = ConvParams((3, 3, hidden, self.dim_out), name="net_4")()
-        w2_p = pdg.pad_out(w2, out_segs)
-        b2_p = pdg.scatter_vec(b2, out_segs)
-        if rc != self.dim_out:
-            wres, bres = ConvParams((1, 1, rc, self.dim_out),
-                                    name="res_conv")()
-            wres_p = pdg.pad_out(pdg.scatter_rows(wres, segments), out_segs)
-            bres_p = pdg.scatter_vec(bres, out_segs)
-        else:
-            # Identity residual requires layout identity too.
-            assert len(segments) == 1, segments
-            wres_p = bres_p = None
-
-        return convnext_body(
-            h, None, x.astype(dtype), g1s_p, g1b_p, w1_p, b1, g2s, g2b,
-            w2_p, b2_p, wres_p, bres_p, stats=(s1, s2), norm=self.norm,
-            n1=H * W * rc, n2=H * W * hidden, use_pallas=self.use_fused)
-
 
 class LinearCrossAttention(nn.Module):
     """Efficient attention with the condition as one extra k/v token

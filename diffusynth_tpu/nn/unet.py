@@ -9,11 +9,15 @@ Module names mirror the reference state_dict positions (downs_{i}_{j},
 mid_left_{i}, mid_mid_{j}, mid_right_{i}, ups_{i}_{j}, final_conv_{j},
 time_mlp_{j}, label_embedding) so the weight converter is a mechanical key
 translation.
+
+(Round 1 carried a parallel "channel-padded chain" execution mode here; it
+measured 432 vs 238 ms/step and was removed in round 2 — the evidence
+chain lives in benchmarks/RESULTS_kernel_fusion.md and RESULTS_r2.md.)
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -23,7 +27,6 @@ from diffusynth_tpu.configs import UNetConfig
 from diffusynth_tpu.nn.layers import (
     ConvNextBlock,
     LinearCrossAttention,
-    LinearCrossAttentionAdd,
     SinusoidalPositionEmbeddings,
     UNetResnetBlock,
     conv2d,
@@ -70,15 +73,14 @@ class _Attn(nn.Module):
     The production "linear_add" variant runs through
     ops/attention_site.py::attention_site — one fused Pallas kernel for the
     whole site on TPU when shapes qualify (two HBM passes instead of ~10);
-    "linear_cat" keeps the module path. real_c: real channel count under
-    zero-padded channel lanes."""
+    "linear_cat" keeps the module path."""
 
     attn_type: str
     dtype: Optional[Dtype] = None
     use_fused: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, condition=None, real_c: Optional[int] = None):
+    def __call__(self, x, condition=None):
         from diffusynth_tpu.nn.layers import FusedGroupNorm, GNParams
 
         if self.attn_type == "linear_cat":
@@ -90,28 +92,13 @@ class _Attn(nn.Module):
 
         from diffusynth_tpu.ops.attention_site import attention_site
 
-        from diffusynth_tpu.nn import padding as pdg
-
         heads, dim_head = 4, 32
         F = heads * dim_head
         B, H, W, C = x.shape
-        rc = real_c if real_c is not None else C
-        gpre_s, gpre_b = GNParams(rc, name="norm")()
+        gpre_s, gpre_b = GNParams(C, name="norm")()
         cond_dim = condition.shape[-1] if condition is not None else None
         (wqkv, wlk, blk, wlq, blq, wout, bout, g2s, g2b) = _LinearAddParams(
-            rc, F, name="fn")(cond_dim)
-        if rc != C:
-            # Channel-padded chain path: scatter real-sized params to the
-            # zero-padded lanes (single segment; see nn/padding.py).
-            segs = ((rc, C),)
-            assert pdg.total_pad(segs) == C, (rc, C)
-            wqkv = pdg.scatter_rows(wqkv.reshape(1, 1, rc, 3 * F), segs)
-            wout = pdg.pad_out(wout.reshape(1, 1, F, rc), segs)
-            bout = pdg.scatter_vec(bout, segs)
-            gpre_s = pdg.scatter_vec(gpre_s, segs)
-            gpre_b = pdg.scatter_vec(gpre_b, segs)
-            g2s = pdg.scatter_vec(g2s, segs)
-            g2b = pdg.scatter_vec(g2b, segs)
+            C, F, name="fn")(cond_dim)
 
         xc = x.astype(self.dtype) if self.dtype is not None else x
         if condition is not None:
@@ -122,11 +109,10 @@ class _Attn(nn.Module):
             label_kq = jnp.concatenate([lk, lq], axis=-1)
         else:
             label_kq = jnp.zeros((B, 2 * F), xc.dtype)
-        n = H * W * (real_c if real_c is not None else C)
         return attention_site(
             xc, label_kq, wqkv.reshape(C, 3 * F), wout.reshape(F, C), bout,
             gpre_s, gpre_b, g2s, g2b, heads=heads, dim_head=dim_head,
-            n=n, use_pallas=self.use_fused)
+            n=H * W * C, use_pallas=self.use_fused)
 
 
 class ConditionedUnet(nn.Module):
@@ -185,149 +171,65 @@ class ConditionedUnet(nn.Module):
         else:
             time_emb = None
 
-        # Channel-padded Pallas-chain execution (nn/padding.py): every
-        # block/attention kernel's DMA lanes are 128-aligned; params stay
-        # real-sized (checkpoint-identical) and are scattered per call.
-        # Default OFF: measured 432 vs 238 ms/step on v5e (the 49-shift
-        # depthwise fusion re-reads its input per tap, and the baseline's
-        # conv+stat fusions already overlap well — benchmarks/micro_scan).
-        # Kept available for kernel iterations via channel_pad=True.
-        chain = bool(cfg.channel_pad) and cfg.use_convnext \
-            and cfg.attn_type == "linear_add"
+        def block(x, dim_out, name, with_time=True):
+            return self._block(dim_out, name)(
+                x, time_emb if with_time else None)
 
-        from diffusynth_tpu.nn import padding as pdg
-        from diffusynth_tpu.nn.layers import ConvParams
-        cdtype = self.dtype if self.dtype is not None else x.dtype
-        dn4 = ("NHWC", "HWIO", "NHWC")
-
-        def block(x, segs, dim_out, name, with_time=True):
-            b = self._block(dim_out, name)
-            temb = time_emb if with_time else None
-            if chain:
-                return b(x, temb, segments=segs), pdg.single(dim_out)
-            return b(x, temb), None
-
-        def attn(x, segs, name):
-            rc = pdg.total_real(segs) if chain else None
-            y = _Attn(cfg.attn_type, dtype=self.dtype,
-                      use_fused=cfg.fused_kernels,
-                      name=name)(x, condition_emb, real_c=rc)
-            return y, segs
-
-        def cat(skip, x, ssegs, xsegs):
-            y = pad_and_concat(skip, x)
-            return y, (tuple(ssegs) + tuple(xsegs) if chain else None)
-
-        def init_conv(x):
-            if not chain:
-                return conv2d(down_dims[0], 7, padding=3, dtype=self.dtype,
-                              name="init_conv")(x), None
-            segs = pdg.single(down_dims[0])
-            w, b = ConvParams((7, 7, cfg.in_dim, down_dims[0]),
-                              name="init_conv")()
-            w_p = pdg.pad_out(w, segs).astype(cdtype)
-            b_p = pdg.scatter_vec(b, segs).astype(cdtype)
-            dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
-            y = jax.lax.conv_general_dilated(
-                x.astype(cdtype), w_p, (1, 1), ((3, 3), (3, 3)),
-                dimension_numbers=dn) + b_p
-            return y, segs
-
-        def down_conv(x, segs, dim_out, name):
-            if not chain:
-                return conv2d(dim_out, 4, stride=2, padding=1,
-                              dtype=self.dtype, name=name)(x), None
-            out_segs = pdg.single(dim_out)
-            rc = pdg.total_real(segs)
-            w, b = ConvParams((4, 4, rc, dim_out), name=name)()
-            w_p = pdg.pad_out(pdg.scatter_rows(w, segs),
-                              out_segs).astype(cdtype)
-            b_p = pdg.scatter_vec(b, out_segs).astype(cdtype)
-            dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
-            y = jax.lax.conv_general_dilated(
-                x.astype(cdtype), w_p, (2, 2), ((1, 1), (1, 1)),
-                dimension_numbers=dn) + b_p
-            return y, out_segs
-
-        def up_conv(x, segs, feat, name):
-            if not chain:
-                return conv_transpose2d(feat, 4, 2, 1, dtype=self.dtype,
-                                        name=name)(x), None
-            out_segs = pdg.single(feat)
-            rc = pdg.total_real(segs)
-            # flax ConvTranspose(transpose_kernel=True) kernel layout:
-            # (kh, kw, out_features, in_features).
-            w, b = ConvParams((4, 4, feat, rc), name=name)()
-            w_p = pdg.scatter_vec(
-                pdg.scatter_vec(w, segs, axis=-1), out_segs,
-                axis=-2).astype(cdtype)
-            b_p = pdg.scatter_vec(b, out_segs).astype(cdtype)
-            y = jax.lax.conv_transpose(
-                x.astype(cdtype), w_p, (2, 2), ((2, 2), (2, 2)),
-                dimension_numbers=dn4, transpose_kernel=True) + b_p
-            return y, out_segs
+        def attn(x, name):
+            return _Attn(cfg.attn_type, dtype=self.dtype,
+                         use_fused=cfg.fused_kernels,
+                         name=name)(x, condition_emb)
 
         h = []
-        x, segs = init_conv(x)
-        h.append((x, segs))
+        x = conv2d(down_dims[0], 7, padding=3, dtype=self.dtype,
+                   name="init_conv")(x)
+        h.append(x)
 
         # Encoder path (reference: diffusion.py:215-223).
         down_in_out = list(zip(down_dims[:-1], down_dims[1:]))
         for i, (_, dim_out) in enumerate(down_in_out):
-            x, segs = block(x, segs, dim_out, f"downs_{i}_0")
-            x, segs = attn(x, segs, f"downs_{i}_1")
-            h.append((x, segs))
-            x, segs = block(x, segs, dim_out, f"downs_{i}_2")
-            x, segs = attn(x, segs, f"downs_{i}_3")
-            h.append((x, segs))
-            x, segs = down_conv(x, segs, dim_out, f"downs_{i}_4")
-            h.append((x, segs))
+            x = block(x, dim_out, f"downs_{i}_0")
+            x = attn(x, f"downs_{i}_1")
+            h.append(x)
+            x = block(x, dim_out, f"downs_{i}_2")
+            x = attn(x, f"downs_{i}_3")
+            h.append(x)
+            x = conv2d(dim_out, 4, stride=2, padding=1, dtype=self.dtype,
+                       name=f"downs_{i}_4")(x)
+            h.append(x)
 
         # Bottleneck (reference: diffusion.py:131-146, 226-238).
         mid_dim = down_dims[-1]
         for i in range(cfg.mid_depth - 1):
-            x, segs = block(x, segs, mid_dim, f"mid_left_{i}")
-            h.append((x, segs))
-        x, segs = block(x, segs, mid_dim, "mid_mid_0")
-        x, segs = attn(x, segs, "mid_mid_1")
-        x, segs = block(x, segs, mid_dim, "mid_mid_2")
+            x = block(x, mid_dim, f"mid_left_{i}")
+            h.append(x)
+        x = block(x, mid_dim, "mid_mid_0")
+        x = attn(x, "mid_mid_1")
+        x = block(x, mid_dim, "mid_mid_2")
         for i in range(cfg.mid_depth - 1):
-            s, ssegs = h.pop()
-            x, segs = cat(s, x, ssegs, segs)
-            x, segs = block(x, segs, mid_dim, f"mid_right_{i}")
+            x = pad_and_concat(h.pop(), x)
+            x = block(x, mid_dim, f"mid_right_{i}")
 
         # Decoder path (reference: diffusion.py:241-253).
         up_in_out = list(zip(up_dims[:-1], up_dims[1:]))
         for i, (up_dim_in, up_dim_out) in enumerate(up_in_out):
-            s, ssegs = h.pop()
-            x, segs = cat(s, x, ssegs, segs)
-            x, segs = block(x, segs, up_dim_in, f"ups_{i}_0")
-            x, segs = attn(x, segs, f"ups_{i}_1")
-            x, segs = up_conv(x, segs, up_dim_in, f"ups_{i}_2")
+            x = pad_and_concat(h.pop(), x)
+            x = block(x, up_dim_in, f"ups_{i}_0")
+            x = attn(x, f"ups_{i}_1")
+            x = conv_transpose2d(up_dim_in, 4, 2, 1, dtype=self.dtype,
+                                 name=f"ups_{i}_2")(x)
 
-            s, ssegs = h.pop()
-            x, segs = cat(s, x, ssegs, segs)
-            x, segs = block(x, segs, up_dim_out, f"ups_{i}_3")
-            x, segs = attn(x, segs, f"ups_{i}_4")
+            x = pad_and_concat(h.pop(), x)
+            x = block(x, up_dim_out, f"ups_{i}_3")
+            x = attn(x, f"ups_{i}_4")
 
-            s, ssegs = h.pop()
-            x, segs = cat(s, x, ssegs, segs)
-            x, segs = block(x, segs, up_dim_out, f"ups_{i}_5")
-            x, segs = attn(x, segs, f"ups_{i}_6")
+            x = pad_and_concat(h.pop(), x)
+            x = block(x, up_dim_out, f"ups_{i}_5")
+            x = attn(x, f"ups_{i}_6")
 
         # Final skip + head (reference: diffusion.py:173-175, 256-257).
-        s, ssegs = h.pop()
-        x, segs = cat(s, x, ssegs, segs)
+        x = pad_and_concat(h.pop(), x)
         assert not h, "skip-connection stack should be empty"
-        x, segs = block(x, segs, up_dims[-1], "final_conv_0",
-                        with_time=False)
-        if not chain:
-            return conv2d(out_dim, 3, padding=1, dtype=self.dtype,
-                          name="final_conv_1")(x)
-        rc = pdg.total_real(segs)
-        w, b = ConvParams((3, 3, rc, out_dim), name="final_conv_1")()
-        w_p = pdg.scatter_rows(w, segs).astype(cdtype)
-        dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape, dn4)
-        return jax.lax.conv_general_dilated(
-            x.astype(cdtype), w_p, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=dn) + b.astype(cdtype)
+        x = block(x, up_dims[-1], "final_conv_0", with_time=False)
+        return conv2d(out_dim, 3, padding=1, dtype=self.dtype,
+                      name="final_conv_1")(x)

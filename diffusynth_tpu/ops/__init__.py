@@ -17,7 +17,6 @@ from diffusynth_tpu.ops.attention_site import (
 from diffusynth_tpu.ops.fused_block import (
     convnext_body,
     convnext_body_reference,
-    dwconv7x7_gn_stats,
 )
 from diffusynth_tpu.ops.group_norm import (
     fused_group_norm,

@@ -16,9 +16,8 @@ to any per-row constant), sequence-axis softmax on k, full-width (F, F)
 context with the cross-head blocks zeroed by an iota mask, so every matmul
 is a full 128-lane tile.
 
-Channel padding: x may be zero-padded to a 128-multiple lane count; `n`
-gives the real per-sample element count for both GroupNorms (zero lanes
-contribute nothing to the sums; zero gamma/beta keep them zero).
+`n` gives the real per-sample element count (H*W*C) for both
+GroupNorms.
 
 Differentiable via custom_vjp (backward differentiates the reference
 formulation).
@@ -56,9 +55,9 @@ def _attn_site_kernel(
     o_ref,
     *, F: int, dim_head: int, scale: float, eps: float, n: int,
 ):
-    """Processes x_ref.shape[0] samples per grid step (SB > 1 amortizes
-    the per-step launch/DMA overhead — per-sample steps measured ~10x the
-    site's traffic roofline at the small inner sites, RESULTS_r2.md)."""
+    """Processes x_ref.shape[0] samples per grid step. (SB > 1 was built
+    to amortize per-step launch overhead; measured NEUTRAL — the sites
+    are FLOP-bound, RESULTS_r2.md — and kept for the cleaner split.)"""
     for s in range(x_ref.shape[0]):
         _attn_one_sample(
             x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref, gpre_s_ref,
@@ -145,10 +144,9 @@ def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
     dtype = x.dtype
     x2 = x.reshape(B, HW, C)
 
-    # Samples per grid step: per-sample steps at the small inner sites are
-    # launch-overhead-bound (measured ~10x the traffic roofline,
-    # RESULTS_r2.md). Pick the largest SB whose x+out blocks plus one
-    # sample's f32 intermediates stay within ~10 MB of VMEM.
+    # Samples per grid step: largest SB whose x+out blocks plus one
+    # sample's f32 intermediates stay within ~10 MB of VMEM (measured
+    # neutral vs SB=1 — the sites are FLOP-bound; RESULTS_r2.md).
     per_sample = HW * C * dtype.itemsize * 2          # x block + out block
     inter = HW * (3 * F) * 4 * 2                      # qkv + softmax temps
     SB = 1

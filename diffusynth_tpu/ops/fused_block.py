@@ -11,12 +11,9 @@ become free in-VMEM reductions; the two 3x3 convolutions run as 9 shifted
 MXU matmuls over a zero-padded flattened (H*W, C) buffer with width-edge
 masks.
 
-Channel padding: Pallas block DMA needs lane dims that are multiples of 128
-(benchmarks/micro_copy.py: 178 vs 657 GB/s), but the model's channel counts
-are 96/192/384. Callers therefore run the hot path with channels
-zero-padded to 128 multiples at rest; the kernel takes `n1`/`n2` — the REAL
-element counts — so GN statistics are exact (zero lanes contribute nothing
-to the sums, and zero gamma/beta keep them zero through the normalize).
+The kernel takes `n1`/`n2` — the REAL per-sample element counts of the
+two GN sites (H*W*C unless a caller zero-pads channels) — so GroupNorm
+statistics are exact.
 
 Differentiable via custom_vjp (backward differentiates the identical
 reference formulation); the fused forward is inference-oriented.
@@ -104,12 +101,11 @@ def _convnext_kernel(
     has_res_conv: bool, n1: int, n2: int, external_stats: bool,
     conv_mode: str = "taps",
 ):
-    """SB batch elements per grid step (SB > 1 amortizes the per-step
-    launch/DMA overhead — per-sample steps measured far above the traffic
-    roofline at the small inner sites, RESULTS_r2.md): each sample runs
-    GN1(h+t) -> conv3x3 -> GELU -> GN2 -> conv3x3 -> + residual with all
-    activations VMEM-resident. With external_stats the GN1 sums come from
-    the producer instead of an in-VMEM pass."""
+    """SB batch elements per grid step (SB > 1 measured neutral — the
+    sites are FLOP-bound, RESULTS_r2.md): each sample runs GN1(h+t) ->
+    conv3x3 -> GELU -> GN2 -> conv3x3 -> + residual with all activations
+    VMEM-resident. With external_stats the GN1 sums come from the
+    producer instead of an in-VMEM pass."""
     for s in range(h_ref.shape[0]):
         _convnext_one_sample(
             h_ref, t_ref, xres_ref, stats_ref, g1s_ref, g1b_ref, w1_ref,
@@ -300,9 +296,9 @@ def _pallas_forward(h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     )
     const = lambda b: (0, 0)  # noqa: E731
 
-    # Samples per grid step: per-sample steps at small sites are
-    # launch-overhead-bound (RESULTS_r2.md). Keep blocks + one sample's
-    # f32 temps within ~10 MB of VMEM.
+    # Samples per grid step: largest SB keeping blocks + one sample's
+    # f32 temps within ~10 MB of VMEM (measured neutral vs SB=1;
+    # RESULTS_r2.md).
     per_sample = HW * (C + Cr + Co) * h.dtype.itemsize
     inter = HW * D * 4 * 2 + 2 * (HW + 2 * P) * (C + D) * h.dtype.itemsize
     SB = 1
@@ -462,38 +458,6 @@ def _fused_bwd(H, W, norm, eps, n1, n2, external_stats, residuals, grad):
 _convnext_body_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def dwconv7x7_gn_stats(x, wdw, bdw, temb_vec=None, n: Optional[int] = None):
-    """Depthwise 7x7 conv + bias + time-embedding add, WITH the following
-    GroupNorm's (sum, sumsq) computed in the same pass.
-
-    Formulated as 49 shifted elementwise FMAs (not lax.conv) so XLA emits a
-    single loop fusion in the producer's layout — no convolution-layout
-    churn between Pallas kernels — and fuses the stat reduces into its
-    epilogue (the familiar convert_reduce_fusion pattern, now free).
-
-    x: (B, H, W, C); wdw: (7, 7, 1, C) (flax grouped-conv kernel layout) or
-    (7, 7, C); bdw: (C,) or None; temb_vec: (B, C) or None.
-    Returns h (B, H, W, C) in x.dtype, s1, s2 ((B,) f32 sums over h).
-    """
-    B, H, W, C = x.shape
-    w = wdw.reshape(7, 7, C).astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    h = jnp.zeros((B, H, W, C), jnp.float32)
-    for a in range(7):
-        for b in range(7):
-            h = h + xp[:, a:a + H, b:b + W, :].astype(jnp.float32) \
-                * w[a, b].astype(jnp.float32)
-    if bdw is not None:
-        h = h + bdw.astype(jnp.float32)
-    if temb_vec is not None:
-        h = h + temb_vec[:, None, None, :].astype(jnp.float32)
-    hc = h.astype(x.dtype)
-    h32 = hc.astype(jnp.float32)
-    s1 = jnp.sum(h32, axis=(1, 2, 3))
-    s2 = jnp.sum(jnp.square(h32), axis=(1, 2, 3))
-    return hc, s1, s2
-
-
 def convnext_body(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
     stats=None, *, norm: bool = True, eps: float = 1e-5,
@@ -507,7 +471,7 @@ def convnext_body(
     w2: (3,3,D,Co); wres: (1,1,Cr,Co) or None (identity residual, Cr==Co).
     n1/n2: real element counts per sample for the GN sites when channels
     are zero-padded (see module docstring). stats: optional externally
-    computed GN1 (sum, sumsq) per sample (from dwconv7x7_gn_stats — then
+    computed GN1 (sum, sumsq) per sample (then
     temb must already be folded into h).
     """
     B, H, W, C = h.shape

@@ -193,31 +193,6 @@ class TestAttentionSiteKernel:
 
 
 class TestExternalStats:
-    def test_dwconv_helper_matches_lax_conv(self):
-        from diffusynth_tpu.ops.fused_block import dwconv7x7_gn_stats
-
-        key = jax.random.PRNGKey(0)
-        B, H, W, C = 2, 16, 8, 24
-        x = jax.random.normal(key, (B, H, W, C), jnp.float32)
-        wdw = jax.random.normal(jax.random.PRNGKey(1), (7, 7, 1, C)) * 0.1
-        bdw = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.1
-        t = jax.random.normal(jax.random.PRNGKey(3), (B, C)) * 0.1
-
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, wdw.shape, ("NHWC", "HWIO", "NHWC"))
-        ref = jax.lax.conv_general_dilated(
-            x, wdw, (1, 1), ((3, 3), (3, 3)), dimension_numbers=dn,
-            feature_group_count=C) + bdw + t[:, None, None, :]
-        h, s1, s2 = dwconv7x7_gn_stats(x, wdw, bdw, t)
-        np.testing.assert_allclose(np.asarray(h), np.asarray(ref),
-                                   atol=1e-4, rtol=1e-4)
-        np.testing.assert_allclose(
-            np.asarray(s1), np.asarray(ref.sum(axis=(1, 2, 3))),
-            atol=1e-2, rtol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(s2), np.asarray((ref ** 2).sum(axis=(1, 2, 3))),
-            atol=1e-2, rtol=1e-5)
-
     def test_kernel_external_stats_matches_internal(self):
         a, _ = _convnext_args(jax.random.PRNGKey(4))
         h, t = a["h"], a["t"]
