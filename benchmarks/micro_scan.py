@@ -38,6 +38,7 @@ def main():
     variants = [
         ("xla-only", dict(fused_kernels=False)),
         ("fused", dict(fused_kernels=None)),
+        ("int8", dict(fused_kernels=None, quantize="int8")),
     ]
     if len(sys.argv) > 1:   # run only the named variants
         want = set(sys.argv[1:])
@@ -88,7 +89,7 @@ def main():
     if "xla-only" not in results:
         return
     base = results["xla-only"]
-    for name in ("fused",):
+    for name in ("fused", "int8"):
         if name in results:
             print(f"\n{name}: max|diff vs xla| = "
                   f"{np.abs(base[1] - results[name][1]).max():.4f}, "

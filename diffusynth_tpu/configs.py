@@ -104,6 +104,11 @@ class UNetConfig(_JsonMixin):
     # Fused Pallas block/attention kernels: None = auto (TPU, where shapes
     # qualify), False = force the XLA formulation. See ops/fused_block.py.
     fused_kernels: Optional[bool] = None
+    # None | "int8": dynamic W8A8 int8 for the ConvNeXt 3x3 convs whose
+    # contraction dim is in the measured MXU-win regime (ops/quant.py).
+    # Inference/serving feature; fidelity gated by the BASELINE spectrogram
+    # MAE budget (docs/PARITY_E2E.md).
+    quantize: Optional[str] = None
 
     def __post_init__(self):
         object.__setattr__(self, "down_dims", tuple(self.down_dims))

@@ -314,6 +314,7 @@ class ConvNextBlock(nn.Module):
     norm: bool = True
     dtype: Optional[Dtype] = None
     use_fused: Optional[bool] = None
+    quantize: Optional[str] = None   # None | "int8" (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -348,7 +349,7 @@ class ConvNextBlock(nn.Module):
         return convnext_body(
             h, t, x, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
             norm=self.norm, n1=H * W * dim, n2=H * W * hidden,
-            use_pallas=self.use_fused)
+            use_pallas=self.use_fused, quantize=self.quantize)
 
 class LinearCrossAttention(nn.Module):
     """Efficient attention with the condition as one extra k/v token

@@ -127,7 +127,8 @@ class ConditionedUnet(nn.Module):
         if cfg.use_convnext:
             return ConvNextBlock(
                 dim_out, mult=cfg.convnext_mult, dtype=self.dtype,
-                use_fused=cfg.fused_kernels, name=name
+                use_fused=cfg.fused_kernels, quantize=cfg.quantize,
+                name=name
             )
         return UNetResnetBlock(
             dim_out, groups=cfg.resnet_block_groups, dtype=self.dtype,

@@ -362,14 +362,20 @@ def convnext_body_reference(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
     stats=None, *, norm: bool = True, eps: float = 1e-5,
     n1: Optional[int] = None, n2: Optional[int] = None,
+    quantize=None,
 ):
     """Plain-XLA reference of the same body. n1/n2 are the real element
     counts for the two GN sites (defaults: all elements — the unpadded
     case). stats: optional externally-computed GN1 (sum, sumsq), (B,)
-    each."""
+    each. quantize: None | "int8" — run the 3x3 convs whose contraction
+    dim is in the measured int8-win regime as dynamic W8A8 int8
+    (ops/quant.py)."""
+    from diffusynth_tpu.ops.quant import int8_conv, want_int8
+
     dtype = h.dtype
     B, H, W, C = h.shape
     D = w1.shape[-1]
+    Co = w2.shape[-1]
     n1 = n1 if n1 is not None else H * W * C
     n2 = n2 if n2 is not None else H * W * D
 
@@ -391,6 +397,11 @@ def convnext_body_reference(
         return _conv_pf32(x.astype(dtype), w.astype(dtype), stride, pad,
                           groups)
 
+    def conv3x3(x, w, k_dim, n_dim):
+        if want_int8(quantize, k_dim, n_dim):
+            return int8_conv(x.astype(dtype), w.astype(jnp.float32))
+        return conv(x, w)
+
     x1 = h + temb_vec[:, None, None, :].astype(dtype)
     if norm and stats is not None:
         s1 = stats[0].astype(jnp.float32).reshape(-1, 1, 1, 1)
@@ -403,9 +414,9 @@ def convnext_body_reference(
         y = gn(x1, g1s, g1b, n1).astype(dtype)
     else:
         y = x1
-    g = jax.nn.gelu(conv(y, w1) + b1.astype(jnp.float32))
+    g = jax.nn.gelu(conv3x3(y, w1, C, D) + b1.astype(jnp.float32))
     y2 = gn(g, g2s, g2b, n2).astype(dtype)
-    acc2 = conv(y2, w2) + b2.astype(jnp.float32)
+    acc2 = conv3x3(y2, w2, D, Co) + b2.astype(jnp.float32)
     if wres is not None:
         res = conv(xres, wres, pad=0) + bres.astype(jnp.float32)
     else:
@@ -462,7 +473,7 @@ def convnext_body(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
     stats=None, *, norm: bool = True, eps: float = 1e-5,
     n1: Optional[int] = None, n2: Optional[int] = None,
-    use_pallas: Optional[bool] = None,
+    use_pallas: Optional[bool] = None, quantize=None,
 ):
     """Fused ConvNeXt body with dispatch.
 
@@ -472,8 +483,13 @@ def convnext_body(
     n1/n2: real element counts per sample for the GN sites when channels
     are zero-padded (see module docstring). stats: optional externally
     computed GN1 (sum, sumsq) per sample (then
-    temb must already be folded into h).
+    temb must already be folded into h). quantize: None | "int8" — W8A8
+    int8 for the in-regime 3x3 convs (forces the XLA path for blocks where
+    a conv qualifies; the XLA and Pallas paths measure at par in bf16,
+    RESULTS_kernel_fusion.md, so the only delta is the int8 win).
     """
+    from diffusynth_tpu.ops.quant import want_int8
+
     B, H, W, C = h.shape
     D = w1.shape[-1]
     Co = w2.shape[-1]
@@ -481,6 +497,8 @@ def convnext_body(
     n2 = n2 if n2 is not None else H * W * D
     if temb_vec is None:
         temb_vec = jnp.zeros((B, C), h.dtype)
+    if want_int8(quantize, C, D) or want_int8(quantize, D, Co):
+        use_pallas = False
     if use_pallas is None:
         itemsize = jnp.dtype(h.dtype).itemsize
         per_sample = H * W * (2 * C + 3 * D + 2 * Co) * itemsize
@@ -509,4 +527,4 @@ def convnext_body(
             wres, bres, H, W, norm, eps, n1, n2, external)
     return convnext_body_reference(
         h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
-        stats=stats, norm=norm, eps=eps, n1=n1, n2=n2)
+        stats=stats, norm=norm, eps=eps, n1=n1, n2=n2, quantize=quantize)
