@@ -26,8 +26,12 @@ K = 5
 def main():
     import sys
 
+    import os
+
     print("devices:", jax.devices(), flush=True)
-    B, H, W = 128, 128, 64
+    # MICRO_SCAN_BATCH: CFG-doubled batch (default 128 = user batch 64).
+    B = int(os.environ.get("MICRO_SCAN_BATCH", "128"))
+    H, W = 128, 64
     cfg = UNetConfig()
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, H, W, cfg.in_dim), jnp.bfloat16)

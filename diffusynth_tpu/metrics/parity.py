@@ -45,13 +45,16 @@ def _nchw(x_nhwc: np.ndarray):
 
 def build_converted_pair(vqgan_cfg: Optional[dict] = None,
                          unet_cfg: Optional[dict] = None,
-                         seed: int = 0):
+                         seed: int = 0,
+                         flax_unet_overrides: Optional[dict] = None):
     """Instantiate the reference torch VQGAN + ConditionedUnet at random
     init and a DiffuSynthRuntime carrying the SAME weights (via compat/).
 
     Returns (torch_vqgan, torch_unet, runtime). Configs default to the
     production values (reference: app.py:32-40); pass reduced dicts for
-    fast tests.
+    fast tests. flax_unet_overrides: extra UNetConfig fields applied to
+    the flax side ONLY (e.g. quantize="int8" to measure the int8
+    inference path's fidelity against the float reference).
     """
     import torch
 
@@ -101,7 +104,8 @@ def build_converted_pair(vqgan_cfg: Optional[dict] = None,
         up_dims=tuple(unet_cfg["up_dims"]),
         attn_type=unet_cfg["attn_type"],
         label_emb_dim=unet_cfg["label_emb_dim"],
-        fused_kernels=False)
+        fused_kernels=False,
+        **(flax_unet_overrides or {}))
 
     config = AppConfig(vqgan=f_vq_cfg, unet=f_unet_cfg,
                        compute_dtype="float32")
@@ -116,12 +120,15 @@ def build_converted_pair(vqgan_cfg: Optional[dict] = None,
 def run_e2e_parity(vqgan_cfg: Optional[dict] = None,
                    unet_cfg: Optional[dict] = None,
                    batch: int = 2, width: int = 64, steps: int = 5,
-                   cfg_scale: float = 3.0, seed: int = 0) -> Dict[str, float]:
+                   cfg_scale: float = 3.0, seed: int = 0,
+                   flax_unet_overrides: Optional[dict] = None,
+                   ) -> Dict[str, float]:
     """Full-chain fidelity vs the in-process torch reference with the same
     converted weights. Returns MAEs per stage; see module docstring."""
     import torch
 
-    t_vqgan, t_unet, rt = build_converted_pair(vqgan_cfg, unet_cfg, seed)
+    t_vqgan, t_unet, rt = build_converted_pair(vqgan_cfg, unet_cfg, seed,
+                                               flax_unet_overrides)
     from model.DiffSynthSampler import DiffSynthSampler as RefSampler
     from tools import decode_stft as ref_decode_stft
     from tools import depad_STFT as ref_depad

@@ -225,20 +225,24 @@ def attention_site_reference(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
 
     x2 = x.reshape(B, HW, C)
     xn = gn(x2, gpre_s, gpre_b).astype(dtype)
+    # f32 MXU accumulation, but convert to the working dtype in the conv
+    # epilogue: materializing qkv as f32 costs 1.6 GB extra HBM write per
+    # L0 site per step (profiled; the label adds below are exact in bf16
+    # up to the rounding the attention kernel applies anyway).
     qkv = jnp.einsum("bnc,cf->bnf", xn, wqkv.astype(dtype),
-                     preferred_element_type=jnp.float32)
-    q = qkv[..., 0:F] + label_kq[:, None, F:2 * F].astype(jnp.float32)
-    k = qkv[..., F:2 * F] + label_kq[:, None, 0:F].astype(jnp.float32)
+                     preferred_element_type=jnp.float32).astype(dtype)
+    q = qkv[..., 0:F] + label_kq[:, None, F:2 * F].astype(dtype)
+    k = qkv[..., F:2 * F] + label_kq[:, None, 0:F].astype(dtype)
     v = qkv[..., 2 * F:3 * F]
     attn = linear_attention_blocked(
-        q.reshape(B, HW, heads, dim_head).astype(dtype),
-        k.reshape(B, HW, heads, dim_head).astype(dtype),
-        v.reshape(B, HW, heads, dim_head).astype(dtype),
+        q.reshape(B, HW, heads, dim_head),
+        k.reshape(B, HW, heads, dim_head),
+        v.reshape(B, HW, heads, dim_head),
         scale,
     ).reshape(B, HW, F)
-    out = jnp.einsum("bnf,fc->bnc", attn.astype(dtype), wout.astype(dtype),
-                     preferred_element_type=jnp.float32) \
-        + bout.astype(jnp.float32)
+    out = (jnp.einsum("bnf,fc->bnc", attn.astype(dtype), wout.astype(dtype),
+                      preferred_element_type=jnp.float32)
+           + bout.astype(jnp.float32)).astype(dtype)
     y = gn(out, gpost_s, gpost_b)
     return (x2 + y.astype(dtype)).reshape(B, H, W, C)
 
@@ -290,9 +294,14 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
     if use_pallas is None:
         itemsize = jnp.dtype(x.dtype).itemsize
         per_sample = H * W * (2 * C + 6 * F) * itemsize
+        # C only needs sublane/VREG granularity (Mosaic lane-pads the
+        # misaligned C blocks; DMA penalty measured tolerable vs the XLA
+        # path's ~10 HBM materializations). Production dims are
+        # 96/192/384 — none are %128 — so requiring C%128 disabled the
+        # kernel everywhere it matters.
         use_pallas = (
             jax.default_backend() == "tpu"
-            and C % 128 == 0 and F % 128 == 0
+            and C % 8 == 0 and F % 128 == 0
             and (H * W) % 128 == 0
             and per_sample <= 64 * 1024 * 1024
         )

@@ -136,6 +136,18 @@ class TestAttentionSiteKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("C", [96, 192])
+    def test_non_lane_aligned_channels(self, C):
+        """Production dims (96/192/384) are not %128; the kernel must
+        handle a lane-misaligned C directly (dispatch gate is C%8)."""
+        a = self._args(jax.random.PRNGKey(5), C=C)
+        kw = dict(heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5,
+                  n=16 * 8 * C)
+        ref = attention_site_reference(*a.values(), **kw)
+        got = attn_pallas(*a.values(), **kw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
     def test_padded_channels_match_real(self):
         a = self._args(jax.random.PRNGKey(1))
         Cr = 96
