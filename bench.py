@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+    import os
+
     import jax
 
     from diffusynth_tpu.configs import AppConfig
@@ -31,9 +34,18 @@ def main():
     duration = 3.0  # 4 s nominal note -> width 64 (reference: text2sound.py:84)
     cfg_scale = 6.0
 
+    app = AppConfig()
+    # DIFFUSYNTH_BENCH_QUANTIZE=int8: W8A8 int8 U-Net convs (ops/quant.py).
+    # Fidelity vs the float reference is recorded in docs/PARITY_E2E.md.
+    quant = os.environ.get("DIFFUSYNTH_BENCH_QUANTIZE") or None
+    if quant:
+        app = dataclasses.replace(
+            app, unet=dataclasses.replace(app.unet, quantize=quant))
+
     runtime = DiffuSynthRuntime(
-        AppConfig(), text_encoder=CachedTextEncoder(HashTextEncoder(512)),
+        app, text_encoder=CachedTextEncoder(HashTextEncoder(512)),
         seed=0,
+        loop_mode=os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE", "python"),
     )
     pipe = Text2SoundPipeline(runtime)
 

@@ -507,6 +507,13 @@ def convnext_body(
         # leaves VMEM so it stays at the model's real size — keeping the
         # effective MXU tile count identical to XLA's (which pads K/N to
         # 128 internally anyway).
+        # The 128 gates restrict the kernel to the 768-channel up-concat
+        # blocks — deliberately. Relaxing to %8 (like the attention-site
+        # kernel, which WON from it) was measured: 252.8 vs 194.3 ms/step
+        # — the misaligned-C Pallas DMA plus the loss of XLA's
+        # dw-conv+stats epilogue fusions is a big net regression for the
+        # body, unlike the attention sites whose XLA fallback was paying
+        # f32 spills + layout copies (RESULTS_r2.md H7).
         use_pallas = (
             jax.default_backend() == "tpu"
             and C % 128 == 0 and Co % 128 == 0
