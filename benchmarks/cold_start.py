@@ -27,9 +27,21 @@ def main():
     from diffusynth_tpu.pipelines import DiffuSynthRuntime
     from diffusynth_tpu.pipelines.text2sound import Text2SoundPipeline
 
-    print(f"devices: {jax.devices()}; batch {batch}", flush=True)
+    import dataclasses
+    import os
+
+    app = AppConfig()
+    # DIFFUSYNTH_COLD_FUSED=0: force the XLA-only U-Net (no Pallas site
+    # kernels). The Mosaic kernel compiles through the axon tunnel cost
+    # ~240 s of cold start for a ~17% warm-throughput win — this knob
+    # measures the fast-cold end of that dial.
+    if os.environ.get("DIFFUSYNTH_COLD_FUSED") == "0":
+        app = dataclasses.replace(
+            app, unet=dataclasses.replace(app.unet, fused_kernels=False))
+    print(f"devices: {jax.devices()}; batch {batch}; "
+          f"fused={app.unet.fused_kernels}", flush=True)
     t0 = time.time()
-    rt = DiffuSynthRuntime(AppConfig())
+    rt = DiffuSynthRuntime(app)
     pipe = Text2SoundPipeline(rt)
     t_init = time.time() - t0
     print(f"runtime init (incl. param init on device): {t_init:.1f}s",

@@ -93,7 +93,13 @@ class DiffSynthSampler:
         compile drops from minutes to ~30 s (one step program instead of
         the unrolled-scan compile), and the axon AOT-compiler fault on
         specific (batch, width) scan combinations is avoided entirely.
-        "scan" fuses all steps into one lax.scan program.
+        "scan" fuses all steps into one lax.scan program. "window" is the
+        python loop with W<=5 steps scanned per dispatch (1/W the tunnel
+        round trips; W divides the step count, falling back to per-step
+        when no W in 2..5 divides it). Measured NEUTRAL vs "python" on
+        the axon tunnel (10.40 vs 10.31 s b64 p50 — the wall-vs-device
+        gap is not dispatch-count-bound there); kept as an option for
+        deployments where per-dispatch overhead differs.
 
         batch_sharding: optional jax.sharding.NamedSharding for the batch
         axis - inputs are placed with it before the loop, so XLA shards the
@@ -240,7 +246,7 @@ class DiffSynthSampler:
             )
             return final, traj
 
-        use_python = self.loop_mode == "python"
+        use_python = self.loop_mode in ("python", "window")
         if (not use_python and _axon_backend()
                 and _known_bad_scan_signature(batch, cfg_on, n_steps_exec)):
             import warnings
@@ -306,6 +312,32 @@ class DiffSynthSampler:
             jitted_step = aot_jit(_body_impl,
                                   name="sampler_step")
 
+            # loop_mode="window": scan W consecutive steps per dispatch —
+            # same step math, 1/W the host->device round trips (each
+            # python-loop call pays a tunnel RPC + params-pytree
+            # flattening; measured as the residual wall-minus-device gap,
+            # RESULTS_r2.md). W divides n_steps_exec so one program
+            # serves every window.
+            W = 1
+            if self.loop_mode == "window":
+                for cand in (5, 4, 3, 2):
+                    if n_steps_exec % cand == 0:
+                        W = cand
+                        break
+
+            if W > 1:
+                def _window_impl(params, img, i_w, masks_w, keys_w, cond,
+                                 uncond, guide, init_noise, static_mask):
+                    def body(img, xs):
+                        i, m, k = xs
+                        img = _body_impl(params, img, i, m, k, cond,
+                                         uncond, guide, init_noise,
+                                         static_mask)
+                        return img, (img if return_traj else None)
+                    return jax.lax.scan(body, img, (i_w, masks_w, keys_w))
+
+                jitted_window = aot_jit(_window_impl, name="sampler_window")
+
             def python_loop(params, init_img, cond, uncond, guide, init_noise,
                             mask_profiles, static_mask, key):
                 i_vals = np.arange(start_idx - 1,
@@ -316,6 +348,17 @@ class DiffSynthSampler:
                                               jnp.float32)
                 img = init_img
                 traj = []
+                if W > 1:
+                    i_dev = jnp.asarray(i_vals, jnp.int32)
+                    for w0 in range(0, n_steps_exec, W):
+                        img, tw = jitted_window(
+                            params, img, i_dev[w0:w0 + W],
+                            mask_profiles[w0:w0 + W], step_keys[w0:w0 + W],
+                            cond, uncond, guide, init_noise, static_mask)
+                        if return_traj:
+                            traj.append(tw)
+                    return img, (jnp.concatenate(traj)
+                                 if return_traj else None)
                 for j, i in enumerate(i_vals):
                     img = jitted_step(params, img, jnp.int32(i),
                                       mask_profiles[j], step_keys[j], cond,

@@ -44,7 +44,7 @@ def test_python_loop_matches_scan(mode, cfg, sampler_name):
     cond = jnp.ones((2, 8))
     key = jax.random.key(0)
     outs = {}
-    for lm in ("scan", "python"):
+    for lm in ("scan", "python", "window"):   # window: 8 steps -> W=4
         s = _sampler(lm, cfg)
         if mode == "sample":
             out, _ = s.sample(None, shape, key, condition=cond,
@@ -73,6 +73,7 @@ def test_python_loop_matches_scan(mode, cfg, sampler_name):
                                       sampler=sampler_name)
         outs[lm] = np.asarray(out)
     np.testing.assert_allclose(outs["python"], outs["scan"], atol=1e-5)
+    np.testing.assert_allclose(outs["window"], outs["scan"], atol=1e-5)
 
 
 def test_bad_scan_signature_fence(monkeypatch):
