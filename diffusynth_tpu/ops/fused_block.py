@@ -414,6 +414,13 @@ def convnext_body_reference(
         y = gn(x1, g1s, g1b, n1).astype(dtype)
     else:
         y = x1
+    # NOTE: the f32 materializations of g/acc2 look like avoidable HBM
+    # traffic (the profile shows separate convert passes), but forcing
+    # bf16 epilogue writes here — the exact change that WON at the
+    # attention sites — measured 208.8 vs 194.3 ms/step (bf16) and
+    # 181.8 vs 178.2 (int8): XLA already folds these f32 reads into the
+    # consumer fusions, and the extra bf16 writes are pure addition
+    # (RESULTS_r2.md H9). Keep f32.
     g = jax.nn.gelu(conv3x3(y, w1, C, D) + b1.astype(jnp.float32))
     y2 = gn(g, g2s, g2b, n2).astype(dtype)
     acc2 = conv3x3(y2, w2, D, Co) + b2.astype(jnp.float32)

@@ -301,10 +301,23 @@ def main(argv=None):
     parser.add_argument("--warmup-manifest", default=None,
                         help="JSON manifest of programs to precompile at "
                              "startup (see warmup_from_manifest)")
+    parser.add_argument("--quantize", default=None, choices=["int8"],
+                        help="W8A8 int8 U-Net convs (ops/quant.py): "
+                             "~9%% faster steps; fidelity numbers in "
+                             "docs/PARITY_E2E.md")
     args = parser.parse_args(argv)
     print("initializing models (first TPU compile takes minutes)...",
           flush=True)
-    server = make_server(args.host, args.port, max_batch=args.max_batch,
+    runtime = None
+    if args.quantize:
+        import dataclasses
+
+        app = AppConfig()
+        app = dataclasses.replace(
+            app, unet=dataclasses.replace(app.unet, quantize=args.quantize))
+        runtime = DiffuSynthRuntime(app)
+    server = make_server(args.host, args.port, runtime=runtime,
+                         max_batch=args.max_batch,
                          window_ms=args.window_ms)
     if args.warmup_manifest:
         server.app.warmup_from_manifest(args.warmup_manifest)
