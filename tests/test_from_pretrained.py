@@ -42,3 +42,32 @@ def test_from_pretrained_roundtrip(tmp_path):
     o1 = rt1.unet_apply(rt1.unet_variables, latents, t, c)
     o2 = rt2.unet_apply(rt2.unet_variables, latents, t, c)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_from_pretrained_partial_checkpoint(tmp_path):
+    """Only the VQGAN checkpoint present: its weights restore, the U-Net
+    stays at the template init (mirrors the reference's per-model
+    load_pretrain flags, app.py:30-41)."""
+    cfg = tiny_config()
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt1 = DiffuSynthRuntime(cfg, text_encoder=enc, seed=3)
+
+    models_dir = str(tmp_path / "models_jax")
+    Checkpointer(models_dir).save(
+        "vqgan", "imageVQVAE", {"variables": rt1.vqgan_variables, "step": 1})
+
+    rt2 = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99)
+
+    latents = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 8, 4))
+        .astype(np.float32))
+    _, a1 = rt1.decode_latents(latents)
+    _, a2 = rt2.decode_latents(latents)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+    t = jnp.zeros(1, jnp.int32)
+    c = jnp.zeros((1, 16))
+    o1 = rt1.unet_apply(rt1.unet_variables, latents, t, c)
+    o2 = rt2.unet_apply(rt2.unet_variables, latents, t, c)
+    assert float(np.abs(np.asarray(o1) - np.asarray(o2)).max()) > 1e-6
