@@ -63,8 +63,15 @@ def bench_text2sound_single(rt):
             "timbres_per_sec": 1.0 / stats["p50"]}
 
 
-def bench_text2sound_batched(rt, cfg_scales=(1.0, 3.0, 6.0)):
-    """Config 2: batch 64, 50-step DDIM + decode, CFG sweep."""
+def bench_text2sound_batched(rt, cfg_scales=(3.0, 6.0)):
+    """Config 2: batch 64, 50-step DDIM + decode, CFG sweep.
+
+    cfg=1.0 (the unconditional batch-64 step program) is excluded by
+    default: its compile hung the axon remote compiler twice on
+    2026-08-17 (the harness wedged at config 2 both times, and the
+    stuck server-side compile then blocked the device for every later
+    client — same persistence pattern as the r1 scan fault). Re-add it
+    once the signature is isolated (docs/ROADMAP.md #5)."""
     from diffusynth_tpu.pipelines import Text2SoundPipeline
     from diffusynth_tpu.utils import time_fn
 
