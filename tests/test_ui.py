@@ -87,3 +87,40 @@ class TestHeadlessDemo:
             path = tmp_path / name
             assert path.exists(), name
             assert path.stat().st_size > 1000
+
+
+class TestBlocksAssembly:
+    """build_app's gr.Blocks wiring, exercised against an API-faithful
+    stub (tests/gradio_stub.py) — gradio itself is not installed by
+    design. Verifies the reference app's tab structure (app.py:72-91)
+    and drives the Text2Sound callback through the recorded wiring."""
+
+    @pytest.fixture()
+    def demo(self, runtime, monkeypatch):
+        import sys
+
+        from tests import gradio_stub
+
+        monkeypatch.setitem(sys.modules, "gradio", gradio_stub)
+        from diffusynth_tpu.ui.app import build_app
+
+        return build_app(runtime)
+
+    def test_tab_structure(self, demo):
+        names = [t.name for t in demo.tabs]
+        for expected in ("Text2Sound", "Sound2Sound", "Inpaint",
+                         "Arrangement", "README"):
+            assert expected in names, names
+        # Every tab except README wires at least one button.
+        assert len(demo.clicks) >= 4
+
+    def test_text2sound_callback_runs(self, demo):
+        # First wired click is the Text2Sound Generate button; call it
+        # with the UI's default component values.
+        wiring = demo.clicks[0]
+        args = [c.value for c in wiring["inputs"]]
+        out = wiring["fn"](*args)
+        assert len(out) == len(wiring["outputs"])
+        sr, audio = out[-1]          # gr.Audio output: (sample_rate, wave)
+        assert sr > 0
+        assert np.isfinite(audio).all()
