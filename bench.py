@@ -13,17 +13,44 @@ vs_baseline = measured_timbres_per_sec_per_chip / 8.0 (>1 beats the target).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def _preflight(timeout_s: int = 300) -> None:
+    """Fail fast (nonzero exit) if the device is unreachable/wedged.
+
+    A stuck server-side compile on the axon backend blocks every client
+    (docs/SCAN_FAULT.md); without this guard bench.py would hang
+    indefinitely instead of reporting a usable failure. The probe runs in
+    a subprocess because a hung device op cannot be interrupted in-process.
+    The generous timeout covers the ~2 min the chip can need to recover
+    after a fault (first op may be slow once).
+    """
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256)); (x @ x).block_until_ready(); "
+             "print('preflight ok', jax.default_backend())")
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
+                       check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"# bench preflight FAILED ({e.__class__.__name__}): device "
+              f"unreachable or wedged — no measurement taken "
+              f"(docs/SCAN_FAULT.md)", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
     import dataclasses
-    import os
 
     import jax
+
+    _preflight()
 
     from diffusynth_tpu.configs import AppConfig
     from diffusynth_tpu.pipelines import DiffuSynthRuntime, Text2SoundPipeline
@@ -41,6 +68,15 @@ def main():
     if quant:
         app = dataclasses.replace(
             app, unet=dataclasses.replace(app.unet, quantize=quant))
+    # DIFFUSYNTH_BENCH_UNET=tpu128: the MXU-tile-aligned preset
+    # (configs.UNET_PRESETS; NOT reference-parity — measures what
+    # 128-aligned channel dims buy on this hardware, RESULTS_r2.md H11).
+    preset = os.environ.get("DIFFUSYNTH_BENCH_UNET") or None
+    if preset:
+        from diffusynth_tpu.configs import UNET_PRESETS
+        base = UNET_PRESETS[preset]
+        app = dataclasses.replace(app, unet=dataclasses.replace(
+            base, quantize=app.unet.quantize))
 
     runtime = DiffuSynthRuntime(
         app, text_encoder=CachedTextEncoder(HashTextEncoder(512)),

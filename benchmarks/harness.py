@@ -71,9 +71,17 @@ def bench_text2sound_batched(rt, cfg_scales=(3.0, 6.0)):
     2026-08-17 (the harness wedged at config 2 both times, and the
     stuck server-side compile then blocked the device for every later
     client — same persistence pattern as the r1 scan fault). Re-add it
-    once the signature is isolated (docs/ROADMAP.md #5)."""
+    once the signature is isolated (docs/ROADMAP.md #5), e.g.
+    DIFFUSYNTH_HARNESS_CFGS=1.0 to probe exactly that case (probe LAST —
+    a reproduction takes the shared device down; docs/SCAN_FAULT.md)."""
+    import os
+
     from diffusynth_tpu.pipelines import Text2SoundPipeline
     from diffusynth_tpu.utils import time_fn
+
+    raw = os.environ.get("DIFFUSYNTH_HARNESS_CFGS", "")
+    if raw:
+        cfg_scales = tuple(float(v) for v in raw.split(",") if v.strip())
 
     pipe = Text2SoundPipeline(rt)
     out = []

@@ -291,6 +291,9 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
     F = heads * dim_head
     scale = dim_head ** -0.5 if scale is None else scale
     n = n if n is not None else H * W * C
+    from diffusynth_tpu.ops.dispatch import known_bad_step_batch
+    if known_bad_step_batch(B):
+        use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
         itemsize = jnp.dtype(x.dtype).itemsize
         per_sample = H * W * (2 * C + 6 * F) * itemsize

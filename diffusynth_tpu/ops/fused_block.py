@@ -506,6 +506,14 @@ def convnext_body(
         temb_vec = jnp.zeros((B, C), h.dtype)
     if want_int8(quantize, C, D) or want_int8(quantize, D, Co):
         use_pallas = False
+    # Measurement knob (like DIFFUSYNTH_GN_BARRIER): force the XLA body
+    # everywhere while leaving the attention-site kernel dispatch alone —
+    # the two share configs.UNetConfig.fused_kernels.
+    if os.environ.get("DIFFUSYNTH_BODY_PALLAS") == "0":
+        use_pallas = False
+    from diffusynth_tpu.ops.dispatch import known_bad_step_batch
+    if known_bad_step_batch(B):
+        use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
         itemsize = jnp.dtype(h.dtype).itemsize
         per_sample = H * W * (2 * C + 3 * D + 2 * Co) * itemsize

@@ -283,3 +283,58 @@ class TestTrainingDtypes:
                            residuals, grad)
         assert len(grads) == 15
         assert np.isfinite(np.asarray(grads[7], np.float32)).all()  # w1
+
+
+class TestStepBatchFence:
+    """DIFFUSYNTH_BAD_STEP_BATCHES fences Mosaic kernel dispatch at batch
+    dims whose step-program compile is known to wedge the remote compiler
+    (docs/SCAN_FAULT.md 2026-08-17 appendix). The fence must override an
+    explicit use_pallas=True — on CPU the Pallas path would raise, so a
+    clean reference-matching result proves the fallback happened."""
+
+    def test_predicate(self, monkeypatch):
+        from diffusynth_tpu.ops import dispatch
+
+        monkeypatch.delenv("DIFFUSYNTH_BAD_STEP_BATCHES", raising=False)
+        assert not dispatch.known_bad_step_batch(64)
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "64,96")
+        assert dispatch.known_bad_step_batch(64)
+        assert dispatch.known_bad_step_batch(96)
+        assert not dispatch.known_bad_step_batch(128)
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "not-an-int")
+        with pytest.warns(UserWarning, match="comma-separated"):
+            assert not dispatch.known_bad_step_batch(64)
+
+    def test_attention_site_fenced(self, monkeypatch):
+        from diffusynth_tpu.ops.attention_site import attention_site
+
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "2")
+        a = TestAttentionSiteKernel()._args(jax.random.PRNGKey(7), B=2)
+        kw = dict(heads=4, dim_head=32, eps=1e-5, n=16 * 8 * 128)
+        got = attention_site(*a.values(), **kw, use_pallas=True)
+        ref = attention_site_reference(*a.values(), scale=32 ** -0.5, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_convnext_body_fenced(self, monkeypatch):
+        from diffusynth_tpu.ops.fused_block import convnext_body
+
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "2")
+        a, _ = _convnext_args(jax.random.PRNGKey(8))
+        args = list(a.values()) + [None, None]
+        got = convnext_body(*args, use_pallas=True)
+        ref = convnext_body_reference(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_other_batches_unfenced(self, monkeypatch):
+        from diffusynth_tpu.ops import dispatch
+        from diffusynth_tpu.ops.attention_site import attention_site
+
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "64")
+        # B=2 is not in the denylist: auto dispatch (CPU -> reference).
+        a = TestAttentionSiteKernel()._args(jax.random.PRNGKey(9), B=2)
+        kw = dict(heads=4, dim_head=32, eps=1e-5, n=16 * 8 * 128)
+        got = attention_site(*a.values(), **kw)
+        assert np.isfinite(np.asarray(got)).all()
+        assert not dispatch.known_bad_step_batch(2)
