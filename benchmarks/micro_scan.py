@@ -32,7 +32,15 @@ def main():
     # MICRO_SCAN_BATCH: CFG-doubled batch (default 128 = user batch 64).
     B = int(os.environ.get("MICRO_SCAN_BATCH", "128"))
     H, W = 128, 64
-    cfg = UNetConfig()
+    # MICRO_SCAN_UNET=tpu128: measure the MXU-tile-aligned preset
+    # (configs.UNET_PRESETS; RESULTS_r2.md H11) instead of reference dims.
+    preset = os.environ.get("MICRO_SCAN_UNET")
+    if preset:
+        from diffusynth_tpu.configs import UNET_PRESETS
+        cfg = UNET_PRESETS[preset]
+        print("unet preset:", preset, cfg.down_dims, flush=True)
+    else:
+        cfg = UNetConfig()
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, H, W, cfg.in_dim), jnp.bfloat16)
     t = jnp.full((B,), 500, jnp.int32)

@@ -193,6 +193,12 @@ class DiffusionTrainConfig(_JsonMixin):
     save_steps: int = 5_000
     loss_type: str = "huber"
     model_name: str = "unet"
+    # Weight EMA for sample quality (beyond-reference; standard for
+    # diffusion). 0.0 = off (reference behavior); 0.999-0.9999 typical.
+    # The EMA copy is checkpointed as a sibling "<name>_UNet_ema" role
+    # (train/diffusion_train.py::ema_of_params); load it for inference
+    # with DiffuSynthRuntime.from_pretrained(..., use_ema=True).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -245,6 +251,34 @@ class AppConfig(_JsonMixin):
 
     def to_json(self) -> str:  # nested dataclasses
         return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# TPU-optimized U-Net preset (NOT reference-parity — own checkpoints needed)
+# ---------------------------------------------------------------------------
+#
+# The reference channel dims (96, 96, 192, 384) force MXU tile padding: XLA
+# lowers each 3x3-conv tap as a K=C_in matmul with K and N rounded up to
+# 128-lane tiles, so a 96-dim conv pays for 128 and a 192-dim conv pays for
+# 256 (measured ~84% of the tap-wise physical roofline — the padding, not
+# inefficiency; benchmarks/RESULTS_r2.md H2). Rounding the dims up to the
+# tiles the hardware already pays for gives 1.33-1.78x the representational
+# capacity at those levels for the SAME MXU time. It is not expected to be
+# faster per step: the dw7x7 + GroupNorm families are VPU/HBM-bound and
+# scale linearly with C (H3/H4a), so step time should rise ~15-20% while
+# MXU capacity rises 78% — a capacity-per-second play for models trained
+# from scratch on TPU, not a drop-in speedup (H11 in RESULTS_r2.md tracks
+# the measurement). Checkpoints trained with the reference dims do NOT
+# load into this preset.
+UNET_TPU128 = UNetConfig(
+    down_dims=(128, 128, 256, 384),
+    up_dims=(384, 384, 256, 128),
+)
+
+UNET_PRESETS: Dict[str, UNetConfig] = {
+    "reference": UNetConfig(),
+    "tpu128": UNET_TPU128,
+}
 
 
 # Width buckets used by pipelines so XLA compiles a small, cached set of

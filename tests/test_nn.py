@@ -163,6 +163,29 @@ class TestUNet:
         variables = model.init(KEY, x, t, cond)
         assert model.apply(variables, x, t, cond).shape == x.shape
 
+    def test_tpu128_preset_wires_up(self):
+        """configs.UNET_TPU128 (MXU-tile-aligned dims, NOT reference-parity)
+        builds and preserves latent shape. eval_shape only — a real init of
+        the 119M-param model takes minutes on CPU; on-hardware numbers are
+        RESULTS_r2.md H11."""
+        from diffusynth_tpu.configs import UNET_PRESETS, UNET_TPU128
+
+        assert UNET_PRESETS["tpu128"] is UNET_TPU128
+        assert all(d % 128 == 0 for d in UNET_TPU128.down_dims)
+        assert all(d % 128 == 0 for d in UNET_TPU128.up_dims)
+        model = ConditionedUnet(UNET_TPU128)
+        x = jax.ShapeDtypeStruct((2, 128, 16, 4), jnp.float32)
+        t = jax.ShapeDtypeStruct((2,), jnp.int32)
+        cond = jax.ShapeDtypeStruct((2, UNET_TPU128.label_emb_dim),
+                                    jnp.float32)
+        variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                   x, t, cond)
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(variables))
+        assert 100e6 < n_params < 140e6  # 119.0M measured
+        out = jax.eval_shape(model.apply, variables, x, t, cond)
+        assert out.shape == x.shape
+
 
 class TestTimbreEncoder:
     def test_forward(self):
