@@ -98,13 +98,16 @@ class DiffuSynthRuntime:
         vqgan_name: str = "vqgan",
         unet_name: str = "unet",
         config: Optional[AppConfig] = None,
+        use_ema: bool = False,
         **kwargs,
     ) -> "DiffuSynthRuntime":
         """Load a runtime from converted orbax checkpoints.
 
         Mirrors the reference's load path (app.py:30-41: get_VQGAN /
         get_diffusion_model with load_pretrain=True); .pth files convert via
-        `python -m diffusynth_tpu.compat.convert_cli`.
+        `python -m diffusynth_tpu.compat.convert_cli`. use_ema=True prefers
+        the "UNet_ema" role written by training with ema_decay > 0
+        (beyond-reference; falls back to the live weights if absent).
         """
         from diffusynth_tpu.train.checkpoints import Checkpointer
 
@@ -115,9 +118,12 @@ class DiffuSynthRuntime:
                 vqgan_name, "imageVQVAE",
                 {"variables": rt.vqgan_variables, "step": 0})
             rt.vqgan_variables = restored["variables"]
-        if ckpt.exists(unet_name, "UNet"):
+        unet_role = ("UNet_ema"
+                     if use_ema and ckpt.exists(unet_name, "UNet_ema")
+                     else "UNet")
+        if ckpt.exists(unet_name, unet_role):
             restored = ckpt.restore(
-                unet_name, "UNet",
+                unet_name, unet_role,
                 {"variables": rt.unet_variables, "step": 0})
             rt.unet_variables = restored["variables"]
         return rt

@@ -43,6 +43,46 @@ def p_losses(unet_apply, params, key, x_start, t, condition, schedule_consts,
     raise NotImplementedError(loss_type)
 
 
+def ema_of_params(decay: float) -> "optax.GradientTransformation":
+    """Optax transform that keeps an EMA copy of the PARAMETERS.
+
+    Beyond-reference feature (the reference trains without weight EMA;
+    diffusion.py:379-523): an exponential moving average of the denoiser
+    weights is the standard variance-reduction for diffusion sample
+    quality. Implemented as a transform chained AFTER the base optimizer —
+    at that point `updates` are the final deltas, so the post-step params
+    are `apply_updates(params, updates)` and the EMA can live inside
+    opt_state. This keeps the jitted step signature, buffer donation, and
+    DP replication unchanged. Extract with `get_ema_params(opt_state)`.
+    """
+
+    def init(params):
+        # Real copies, not jnp.asarray views: the train step donates both
+        # params and opt_state, and aliased buffers would be donated twice.
+        return {"ema_params": jax.tree_util.tree_map(
+            lambda p: jnp.array(p, copy=True), params)}
+
+    def update(updates, state, params=None):
+        assert params is not None, "chain ema_of_params after the optimizer"
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state["ema_params"], new_params)
+        return updates, {"ema_params": ema}
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Pull the EMA parameter copy out of an ema_of_params opt state."""
+    for leaf_state in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda s: isinstance(s, dict)
+    ):
+        if isinstance(leaf_state, dict) and "ema_params" in leaf_state:
+            return leaf_state["ema_params"]
+    raise ValueError("opt_state carries no EMA (ema_decay was 0?)")
+
+
 def make_diffusion_train_step(
     unet: ConditionedUnet,
     timesteps: int = 1000,
@@ -50,15 +90,20 @@ def make_diffusion_train_step(
     uncondition_rate: float = 0.1,
     optimizer: Optional[optax.GradientTransformation] = None,
     lr: float = 1e-4,
+    ema_decay: float = 0.0,
 ):
     """Returns (init_fn, step_fn).
 
     step_fn(params, opt_state, key, latents, conditions, uncond) is fully
     jitted with donated params/opt_state; CFG condition dropout happens
     in-step from the PRNG key (reference does it host-side with
-    random.random(), diffusion.py:471-476).
+    random.random(), diffusion.py:471-476). ema_decay > 0 keeps a weight
+    EMA inside opt_state (see ema_of_params); the train loop checkpoints
+    it as a sibling "UNet_ema" role.
     """
     optimizer = optimizer or optax.adam(lr)
+    if ema_decay:
+        optimizer = optax.chain(optimizer, ema_of_params(ema_decay))
     sched = Schedule.linear(timesteps)
     consts = (
         jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32),
@@ -121,6 +166,7 @@ def train_diffusion_model(
     init_fn, step_fn = make_diffusion_train_step(
         unet, timesteps=cfg.timesteps, loss_type=cfg.loss_type,
         uncondition_rate=cfg.uncondition_rate, lr=cfg.lr,
+        ema_decay=cfg.ema_decay,
     )
     params = init_variables
     opt_state = init_fn(params)
@@ -152,6 +198,17 @@ def train_diffusion_model(
             current = float(np.mean(losses[-cfg.save_steps:]))
             checkpointer.save(cfg.model_name, "UNet",
                               {"variables": params, "step": step})
+            if cfg.ema_decay:
+                # Separate role (not an extra key in the UNet payload):
+                # orbax's structure-matched restore rejects checkpoints
+                # with keys absent from the template, so an embedded EMA
+                # would make the main checkpoint unloadable by
+                # from_pretrained. A sibling "UNet_ema" role keeps both
+                # round-trippable with the standard {variables, step}
+                # template (from_pretrained(use_ema=True) prefers it).
+                checkpointer.save(
+                    cfg.model_name, "UNet_ema",
+                    {"variables": get_ema_params(opt_state), "step": step})
             checkpointer.save_hyperparameters(
                 cfg.model_name, "UNet",
                 {**unet_config.__dict__, "BATCH_SIZE": cfg.batch_size,

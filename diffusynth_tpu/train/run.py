@@ -66,6 +66,10 @@ def main(argv=None):
     parser.add_argument("--name", default=None)
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all devices")
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="weight-EMA decay for diffusion training "
+                             "(e.g. 0.9995; default off = reference "
+                             "behavior)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -104,6 +108,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.ema_decay is not None:
+            cfg = cfg.replace(ema_decay=args.ema_decay)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         uncond = np.zeros(app.unet.label_emb_dim, np.float32)
         train_diffusion_model(app.unet, cfg, it, lookup, uncond,

@@ -71,3 +71,36 @@ def test_from_pretrained_partial_checkpoint(tmp_path):
     o1 = rt1.unet_apply(rt1.unet_variables, latents, t, c)
     o2 = rt2.unet_apply(rt2.unet_variables, latents, t, c)
     assert float(np.abs(np.asarray(o1) - np.asarray(o2)).max()) > 1e-6
+
+
+def test_from_pretrained_ema(tmp_path):
+    """use_ema=True loads the sibling UNet_ema role (written by training
+    with ema_decay>0); use_ema=False — and use_ema=True with no EMA role
+    on disk — load the live weights."""
+    cfg = tiny_config()
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt1 = DiffuSynthRuntime(cfg, text_encoder=enc, seed=3)
+
+    models_dir = str(tmp_path / "models_jax")
+    ckpt = Checkpointer(models_dir)
+    ckpt.save("unet", "UNet", {"variables": rt1.unet_variables, "step": 9})
+
+    # use_ema with no EMA checkpoint: silent fallback to live weights.
+    rt_fb = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99, use_ema=True)
+    l0 = jax.tree_util.tree_leaves(rt1.unet_variables)[0]
+    f0 = jax.tree_util.tree_leaves(rt_fb.unet_variables)[0]
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(l0), atol=1e-7)
+
+    ema_vars = jax.tree_util.tree_map(lambda p: p + 1.0, rt1.unet_variables)
+    ckpt.save("unet", "UNet_ema", {"variables": ema_vars, "step": 9})
+
+    rt_ema = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99, use_ema=True)
+    rt_live = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99)
+    e0 = jax.tree_util.tree_leaves(rt_ema.unet_variables)[0]
+    v0 = jax.tree_util.tree_leaves(rt_live.unet_variables)[0]
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(l0) + 1.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(l0), atol=1e-7)

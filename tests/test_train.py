@@ -3,6 +3,7 @@ round-trip, DP sharding over the 8-virtual-device CPU mesh."""
 
 import os
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +68,52 @@ class TestDiffusionTrainStep:
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_weight_ema(self):
+        """ema_decay keeps an EMA copy of the weights inside opt_state:
+        after one step ema == decay*init + (1-decay)*params (exactly);
+        after several steps it trails the live params."""
+        from diffusynth_tpu.train.diffusion_train import get_ema_params
+
+        unet = ConditionedUnet(SMALL_UNET)
+        rng = np.random.default_rng(1)
+        latents = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+        uncond = jnp.zeros(16)
+        params = unet.init(jax.random.key(0), latents,
+                           jnp.zeros(2, jnp.int32), cond)
+        init0 = jax.tree_util.tree_map(np.asarray, params)
+        decay = 0.5
+        init_fn, step_fn = make_diffusion_train_step(
+            unet, timesteps=50, lr=2e-3, ema_decay=decay)
+        opt_state = init_fn(params)
+        params, opt_state, _ = step_fn(
+            params, opt_state, jax.random.key(2), latents, cond, uncond)
+        ema = get_ema_params(opt_state)
+        want = jax.tree_util.tree_map(
+            lambda i, p: decay * i + (1 - decay) * np.asarray(p),
+            init0, params)
+        chex.assert_trees_all_close(
+            jax.tree_util.tree_map(np.asarray, ema), want,
+            atol=1e-6, rtol=1e-5)
+        for i in range(3, 6):
+            params, opt_state, _ = step_fn(
+                params, opt_state, jax.random.key(i), latents, cond, uncond)
+        ema = jax.tree_util.tree_leaves(get_ema_params(opt_state))
+        live = jax.tree_util.tree_leaves(params)
+        assert any(float(jnp.abs(e - p).max()) > 1e-7
+                   for e, p in zip(ema, live))
+
+    def test_ema_off_by_default(self):
+        from diffusynth_tpu.train.diffusion_train import get_ema_params
+
+        unet = ConditionedUnet(SMALL_UNET)
+        latents = jnp.zeros((2, 8, 8, 4))
+        params = unet.init(jax.random.key(0), latents,
+                           jnp.zeros(2, jnp.int32), jnp.zeros((2, 16)))
+        init_fn, _ = make_diffusion_train_step(unet, timesteps=50)
+        with pytest.raises(ValueError, match="no EMA"):
+            get_ema_params(init_fn(params))
+
     def test_loop_with_checkpointing(self, tmp_path):
         ds = SyntheticNSynthDataset(n=32, shape=(8, 8, 4))
         it = data_iterator(ds, batch_size=4, seed=0)
@@ -92,6 +139,40 @@ class TestDiffusionTrainStep:
         # Hyperparameter sidecar written (reference convention).
         assert os.path.exists(
             str(tmp_path / "models" / "hyperparameters" / "tiny_UNet.json"))
+        # No EMA role without ema_decay (the main payload must keep the
+        # standard {variables, step} template — see diffusion_train.py).
+        assert not ckpt.exists("tiny", "UNet_ema")
+
+    def test_loop_checkpoints_ema_role(self, tmp_path):
+        """ema_decay>0 writes a sibling UNet_ema checkpoint whose weights
+        differ from the live ones but restore with the SAME standard
+        template (from_pretrained(use_ema=True) consumes it)."""
+        ds = SyntheticNSynthDataset(n=32, shape=(8, 8, 4))
+        it = data_iterator(ds, batch_size=4, seed=0)
+
+        def cond_lookup(attrs):
+            return np.stack([
+                np.full(16, a["instrument"] / 8.0, np.float32) for a in attrs
+            ])
+
+        ckpt = Checkpointer(str(tmp_path / "models"))
+        cfg = DiffusionTrainConfig(batch_size=4, max_iter=4, save_steps=4,
+                                   timesteps=50, model_name="tiny",
+                                   ema_decay=0.9)
+        params, _ = train_diffusion_model(
+            SMALL_UNET, cfg, it, cond_lookup, np.zeros(16, np.float32),
+            checkpointer=ckpt,
+        )
+        assert ckpt.exists("tiny", "UNet_ema")
+        live = ckpt.restore("tiny", "UNet",
+                            {"variables": params, "step": 0})
+        ema = ckpt.restore("tiny", "UNet_ema",
+                           {"variables": params, "step": 0})
+        assert int(ema["step"]) == int(live["step"]) == 4
+        diffs = [float(np.abs(np.asarray(e) - np.asarray(p)).max())
+                 for e, p in zip(jax.tree_util.tree_leaves(ema["variables"]),
+                                 jax.tree_util.tree_leaves(live["variables"]))]
+        assert max(diffs) > 1e-7
 
 
 class TestVQGANTrainStep:
