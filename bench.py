@@ -66,6 +66,12 @@ def main():
     # Fidelity vs the float reference is recorded in docs/PARITY_E2E.md.
     quant = os.environ.get("DIFFUSYNTH_BENCH_QUANTIZE") or None
     if quant:
+        if quant != "int8":
+            # An unknown value would silently measure the float path
+            # (want_int8() gates on the exact string) — refuse instead.
+            raise SystemExit(
+                f"DIFFUSYNTH_BENCH_QUANTIZE={quant!r} not supported "
+                f"(only 'int8'); refusing to mislabel a float run")
         app = dataclasses.replace(
             app, unet=dataclasses.replace(app.unet, quantize=quant))
     # DIFFUSYNTH_BENCH_UNET=tpu128: the MXU-tile-aligned preset
@@ -85,10 +91,16 @@ def main():
     )
     pipe = Text2SoundPipeline(runtime)
 
+    # DIFFUSYNTH_BENCH_AUDIO=int16: WAV-ready PCM16 produced on device
+    # (identical bytes to the host conversion; halves the audio transfer
+    # through the tunnel). f32 remains the headline default.
+    audio_format = os.environ.get("DIFFUSYNTH_BENCH_AUDIO", "f32")
+
     def run(seed):
         res = pipe("a bright synthetic lead", "noise", batchsize=batch,
                    duration_sec=duration, steps=steps, cfg=cfg_scale,
-                   sampler="ddim", seed=seed, return_audio=True)
+                   sampler="ddim", seed=seed, return_audio=True,
+                   audio_format=audio_format)
         return res.audio
 
     # Warmup / compile (untimed).
@@ -104,8 +116,17 @@ def main():
 
     p50 = float(np.median(times))
     timbres_per_sec = batch / p50
+    # Non-default knobs change WHAT is measured — tag the metric so a
+    # knob run can't be pasted as the reference-parity headline number.
+    knobs = [k for k in (quant, preset,
+                         os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE"),
+                         audio_format if audio_format != "f32" else None)
+             if k and k != "python"]
+    metric = "timbres_per_sec_per_chip_b64_ddim50_cfg"
+    if knobs:
+        metric += "_" + "_".join(knobs)
     result = {
-        "metric": "timbres_per_sec_per_chip_b64_ddim50_cfg",
+        "metric": metric,
         "value": round(timbres_per_sec, 3),
         "unit": "timbres/s/chip",
         "vs_baseline": round(timbres_per_sec / 8.0, 3),

@@ -125,6 +125,10 @@ def _body():
     diff = max(abs(a - b) for a, b in zip(l1, l8))
     print(f"  max |diff| = {diff:.2e} "
           f"({'OK' if diff < 1e-4 else 'DIVERGED'})")
+    if diff >= 1e-4:
+        # The docstring promises an assertion: a sharding regression must
+        # fail the process, not just print, so automation can't miss it.
+        raise SystemExit(f"DP loss trajectory DIVERGED: max |diff| {diff:.2e}")
 
 
 def main():
@@ -134,10 +138,8 @@ def main():
         _body()
         return
     env = dict(os.environ)
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        flags += " --xla_force_host_platform_device_count=8"
-    env["XLA_FLAGS"] = flags.strip()
+    from __graft_entry__ import _force_device_count_flags
+    env["XLA_FLAGS"] = _force_device_count_flags(env.get("XLA_FLAGS", ""), 8)
     env["JAX_PLATFORMS"] = "cpu"
     child = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
              "from benchmarks.dp_scaling import _body; _body()")

@@ -50,7 +50,7 @@ def e3_conv():
         (96, 384, 64, 32), (384, 192, 64, 32),
         (128, 384, 64, 32), (384, 256, 64, 32),
         (192, 768, 32, 16), (768, 384, 32, 16),
-        (256, 768, 32, 16), (768, 384, 32, 16),
+        (256, 768, 32, 16), (768, 256, 32, 16),
         (384, 768, 16, 8), (768, 384, 16, 8),
     ]
     for cin, cout, h, w in pairs:

@@ -22,9 +22,6 @@ from benchmarks.device_time import device_time_ms
 
 B = 128  # CFG batch (64 doubled)
 
-DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                ("NHWC", "HWIO", "NHWC"))
-
 
 def _conv(x, k, out_dtype):
     return lax.conv_general_dilated(

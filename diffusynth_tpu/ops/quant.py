@@ -9,9 +9,13 @@ K = 96 — so quantization is gated on K >= INT8_MIN_K.
 Scheme: symmetric, zero-point-free.
   - weights: per-output-channel scale amax(|w|)/127, quantized inside the
     jitted program (XLA hoists it; the cost is one tiny pass per weight).
-  - activations: dynamic per-tensor scale amax(|x|)/127 — activations here
-    are post-GroupNorm, so the tensor-level amax is stable and per-channel
-    activation scaling is unnecessary.
+  - activations: dynamic per-SAMPLE scale amax(|x|)/127 over each item's
+    (H, W, C) — activations here are post-GroupNorm, so the amax is stable
+    and per-channel activation scaling is unnecessary. (The win-matrix
+    gates below were measured with micro_int8.py's per-tensor scale; the
+    shipped per-sample reduce has the same shape class as the GN stat
+    passes XLA pipelines well, and the end-to-end step win was re-measured
+    with this exact implementation: 239.9 -> 223.3 ms, RESULTS_r2.md H5.)
   - accumulation exact in int32, dequantized into the f32 epilogue.
 
 Gradients: jax.custom_vjp with a straight-through backward that
