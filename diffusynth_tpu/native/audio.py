@@ -105,8 +105,15 @@ def read_wav(path: str) -> Tuple[int, np.ndarray]:
 
 
 def write_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
-    """Write float32 mono as PCM16 WAV."""
-    data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+    """Write mono audio as PCM16 WAV (float32 in [-1, 1], or int16 PCM
+    passed through untouched — e.g. device-converted pipeline output)."""
+    data = np.asarray(data)
+    if data.dtype == np.int16:
+        from scipy.io import wavfile
+
+        wavfile.write(path, sample_rate, np.ascontiguousarray(data))
+        return
+    data = np.ascontiguousarray(data.astype(np.float32))
     if AVAILABLE:
         rc = _lib.dsyn_wav_write(path.encode(), _fptr(data),
                                  len(data), sample_rate)

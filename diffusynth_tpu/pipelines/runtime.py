@@ -161,8 +161,8 @@ class DiffuSynthRuntime:
         from diffusynth_tpu.utils.aot_cache import aot_jit
 
         @functools.partial(aot_jit, name="decode",
-                           static_argnames=("quantize",))
-        def decode(variables, latents, quantize=True):
+                           static_argnames=("quantize", "audio_format"))
+        def decode(variables, latents, quantize=True, audio_format="f32"):
             if quantize:
                 latents, _, _ = vqgan.apply(
                     variables, latents, method=vqgan.quantize
@@ -176,24 +176,35 @@ class DiffuSynthRuntime:
                 D, a.n_fft, a.hop_length, a.win_length,
                 length=a.hop_length * (T - 1),
             )
+            if audio_format == "int16":
+                # WAV-ready PCM16 produced on device: exactly the host
+                # conversion (native/src dsyn_wav_write: clip to [-1,1],
+                # lrintf(v*32767) — round-half-even == jnp.round), at half
+                # the host-transfer bytes through the tunnel.
+                audio = jnp.round(
+                    jnp.clip(audio, -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
             return latents, enc, audio
 
         return decode
 
     def decode_latents(
-        self, latents: jnp.ndarray, quantize: bool = True
+        self, latents: jnp.ndarray, quantize: bool = True,
+        audio_format: str = "f32",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, H, W, C) latents -> (STFT+ encodings (B, F, T, 3),
-        audio (B, samples))."""
+        audio (B, samples) f32 — or PCM int16 with audio_format="int16")."""
         _, enc, audio = self._decode_fn(self.vqgan_variables, latents,
-                                        quantize=quantize)
+                                        quantize=quantize,
+                                        audio_format=audio_format)
         return enc, audio
 
-    def decode_latents_full(self, latents: jnp.ndarray, quantize: bool = True):
+    def decode_latents_full(self, latents: jnp.ndarray, quantize: bool = True,
+                            audio_format: str = "f32"):
         """Like decode_latents but also returns the (quantized) latents -
         one fused program, no second quantization pass."""
         return self._decode_fn(self.vqgan_variables, latents,
-                               quantize=quantize)
+                               quantize=quantize, audio_format=audio_format)
 
     @functools.cached_property
     def _encode_fn(self):

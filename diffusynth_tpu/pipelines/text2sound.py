@@ -24,7 +24,7 @@ class Text2SoundResult:
     latents: jnp.ndarray          # (B, H, W, C) raw sampled latents
     quantized: jnp.ndarray        # (B, H, W, C) VQ-quantized latents
     spectrograms: jnp.ndarray     # (B, F, T, 3) STFT+ encodings
-    audio: np.ndarray             # (B, samples) float32
+    audio: np.ndarray             # (B, samples) float32 (or PCM int16)
     sample_rate: int
 
 
@@ -55,6 +55,7 @@ class Text2SoundPipeline:
         sampler: str = "ddim",
         seed: int = 0,
         return_audio: bool = True,
+        audio_format: str = "f32",
     ) -> Text2SoundResult:
         rt = self.runtime
         a = rt.config.audio
@@ -72,7 +73,7 @@ class Text2SoundPipeline:
                               sampler=sampler)
 
         quantized, spectrograms, audio = rt.decode_latents_full(
-            latents, quantize=True)
+            latents, quantize=True, audio_format=audio_format)
         return Text2SoundResult(
             latents=latents,
             quantized=quantized,

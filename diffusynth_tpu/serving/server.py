@@ -49,10 +49,21 @@ from diffusynth_tpu.serving.metrics import Metrics
 
 
 def _wav_b64(audio: np.ndarray, sample_rate: int) -> str:
+    """Standard PCM16 WAV, base64-encoded.
+
+    int16 input (device-converted, pipelines audio_format="int16") passes
+    through untouched; float input is converted here exactly like the
+    native writer (clip [-1,1], round-half-even * 32767).
+    """
     from scipy.io import wavfile
 
+    audio = np.asarray(audio)
+    if audio.dtype != np.int16:
+        audio = np.round(
+            np.clip(audio.astype(np.float32), -1.0, 1.0) * 32767.0
+        ).astype(np.int16)
     buf = io.BytesIO()
-    wavfile.write(buf, sample_rate, np.asarray(audio, np.float32))
+    wavfile.write(buf, sample_rate, audio)
     return base64.b64encode(buf.getvalue()).decode()
 
 
@@ -118,8 +129,11 @@ class DiffuSynthServer:
         latents, _ = s.sample(rt.unet_variables, shape, jax.random.key(0),
                               condition=cond, sampler=sampler_name,
                               initial_noise=template)
-        _, _, audio = rt.decode_latents_full(latents, quantize=True)
-        audio = np.asarray(audio, np.float32)
+        # int16 on device: same PCM16 bytes the WAV writer would produce,
+        # at half the device->host transfer.
+        _, _, audio = rt.decode_latents_full(latents, quantize=True,
+                                             audio_format="int16")
+        audio = np.asarray(audio)
         return [
             {"audio_b64": _wav_b64(audio[i], a.sample_rate),
              "sample_rate": a.sample_rate,

@@ -104,6 +104,25 @@ class TestRuntime:
         assert spect.shape == (2, 64, 32, 3)
         assert rec_audio.shape == (2, a.audio_length_from_width(width))
 
+    def test_decode_int16_matches_host_conversion(self, runtime):
+        """audio_format="int16" must produce exactly the WAV-writer bytes
+        (native dsyn_wav_write: clip [-1,1], round-half-even * 32767)."""
+        a = runtime.config.audio
+        audio = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (2, a.audio_length_from_width(8))
+            ).astype(np.float32)
+        )
+        _, _, zq = runtime.encode_audio(audio)
+        _, f32 = runtime.decode_latents(zq, quantize=False)
+        _, i16 = runtime.decode_latents(zq, quantize=False,
+                                        audio_format="int16")
+        assert i16.dtype == jnp.int16
+        host = np.round(
+            np.clip(np.asarray(f32), -1.0, 1.0) * 32767.0
+        ).astype(np.int16)
+        np.testing.assert_array_equal(np.asarray(i16), host)
+
 
 class TestText2Sound:
     def test_generate(self, runtime):

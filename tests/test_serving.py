@@ -106,7 +106,8 @@ class TestHTTPServer:
         sr, audio = wavfile.read(io.BytesIO(wav))
         assert sr == body["sample_rate"]
         assert len(audio) > 1000
-        assert np.isfinite(audio).all()
+        assert audio.dtype == np.int16  # standard PCM16, device-converted
+        assert np.isfinite(audio.astype(np.float64)).all()
 
     def test_concurrent_requests_batch(self, server):
         results = [None] * 3
