@@ -114,6 +114,7 @@ class InpaintPipeline:
         cfg: float = 6.0,
         sampler: str = "ddim",
         seed: int = 0,
+        audio_format: str = "f32",
     ) -> InpaintResult:
         rt = self.runtime
         a = rt.config.audio
@@ -138,7 +139,7 @@ class InpaintPipeline:
             condition=cond, sampler=sampler,
         )
         quantized, spectrograms, audio = rt.decode_latents_full(
-            latents, quantize=True)
+            latents, quantize=True, audio_format=audio_format)
         return InpaintResult(
             latents=latents, quantized=quantized, spectrograms=spectrograms,
             audio=np.asarray(audio), sample_rate=a.sample_rate,

@@ -86,6 +86,7 @@ class Sound2SoundPipeline:
         cfg: float = 6.0,
         sampler: str = "ddim",
         seed: int = 0,
+        audio_format: str = "f32",
     ) -> Sound2SoundResult:
         rt = self.runtime
         a = rt.config.audio
@@ -111,7 +112,7 @@ class Sound2SoundPipeline:
             condition=cond, sampler=sampler,
         )
         quantized, spectrograms, audio = rt.decode_latents_full(
-            latents, quantize=True)
+            latents, quantize=True, audio_format=audio_format)
         return Sound2SoundResult(
             latents=latents, quantized=quantized, spectrograms=spectrograms,
             audio=np.asarray(audio), sample_rate=a.sample_rate,

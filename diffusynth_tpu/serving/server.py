@@ -176,6 +176,7 @@ class DiffuSynthServer:
             steps=int(body.get("steps", 20)),
             cfg=float(body.get("cfg", 6.0)),
             seed=int(body.get("seed", 0)),
+            audio_format="int16",
         )
         return {"audio_b64": _wav_b64(res.audio[0], res.sample_rate),
                 "sample_rate": res.sample_rate}

@@ -161,6 +161,17 @@ class TestSound2Sound:
         assert res.latents.shape == (2, 16, width, 4)
         assert np.isfinite(res.audio).all()
 
+    def test_audio_format_int16(self, runtime):
+        """audio_format threads through to the device-side PCM16 path."""
+        pipe = Sound2SoundPipeline(runtime)
+        rng = np.random.default_rng(1)
+        raw = rng.standard_normal(6000).astype(np.float32)
+        _, _, zq = pipe.encode_origin_audio(raw, 8000, duration_sec=1.0)
+        res = pipe(zq, "warm pad", batchsize=1, noising_strength=0.5,
+                   steps=2, cfg=1.0, seed=3, audio_format="int16")
+        assert res.audio.dtype == np.int16
+        assert np.abs(res.audio).max() <= 32767
+
 
 class TestInpaint:
     def test_mask_construction(self):
@@ -201,6 +212,19 @@ class TestInpaint:
             np.asarray(res.latents[:, :, :3, :]),
             np.asarray(guide[:, :, :3, :]), atol=1e-5,
         )
+
+    def test_audio_format_int16(self, runtime):
+        """audio_format threads through to the device-side PCM16 path."""
+        pipe = InpaintPipeline(runtime)
+        guide = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 16, 8, 4))
+            .astype(np.float32)
+        )
+        mask = np.zeros((16, 8), dtype=np.float32)
+        res = pipe(guide, mask, "bells", steps=2, cfg=1.0,
+                   noising_strength=1.0, seed=1, audio_format="int16")
+        assert res.audio.dtype == np.int16
+        assert np.abs(res.audio).max() <= 32767
 
 
 class TestMidi:
