@@ -309,6 +309,12 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
             and per_sample <= 64 * 1024 * 1024
         )
     if use_pallas:
+        # NOTE (H12, RESULTS_r2.md, disproven): zero-padding the C dim to
+        # 128 at the site boundary (exact under the real-`n` GroupNorms)
+        # to swap the misaligned-lane Pallas DMA rate (~150 GB/s) for the
+        # aligned one (~657) measured WORSE in-model: 195.6 vs 194.3
+        # ms/step bf16, 181.3 vs 178.2 int8 — the 33% wider x/out blocks
+        # plus the pad/slice boundary copies cost more than the rate buys.
         return _attention_site_fused(
             x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
             heads, dim_head, scale, eps, n)

@@ -515,28 +515,17 @@ def convnext_body(
     if known_bad_step_batch(B):
         use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
-        itemsize = jnp.dtype(h.dtype).itemsize
-        per_sample = H * W * (2 * C + 3 * D + 2 * Co) * itemsize
-        # Lane alignment (128) is required only for the per-sample
-        # DMA'd activations (h/xres in, y out); the hidden dim D never
-        # leaves VMEM so it stays at the model's real size — keeping the
-        # effective MXU tile count identical to XLA's (which pads K/N to
-        # 128 internally anyway).
-        # The 128 gates restrict the kernel to the 768-channel up-concat
-        # blocks — deliberately. Relaxing to %8 (like the attention-site
-        # kernel, which WON from it) was measured: 252.8 vs 194.3 ms/step
-        # — the misaligned-C Pallas DMA plus the loss of XLA's
-        # dw-conv+stats epilogue fusions is a big net regression for the
-        # body, unlike the attention sites whose XLA fallback was paying
-        # f32 spills + layout copies (RESULTS_r2.md H7).
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and C % 128 == 0 and Co % 128 == 0
-            and xres.shape[-1] % 128 == 0
-            and D % 8 == 0
-            and W % 8 == 0 and (H * W) % 128 == 0
-            and per_sample <= 64 * 1024 * 1024
-        )
+        # Default OFF everywhere (H10, RESULTS_r2.md): at the only sites
+        # the auto gate ever admitted (the 768-channel up-concat blocks —
+        # C/Co %128, which production dims 96/192/384 fail elsewhere),
+        # the XLA body measures 192.6 vs 194.3 ms/step — XLA's
+        # dw-conv+stats epilogue fusions win at every production shape.
+        # Relaxing the gate to %8 (like the attention-site kernel, which
+        # WON from it) was also measured and is worse: 252.8 ms/step —
+        # misaligned-C Pallas DMA on 3 passes (RESULTS_r2.md H7). The
+        # kernel remains available via use_pallas=True for non-production
+        # shapes and as the measurement reference.
+        use_pallas = False
     if use_pallas:
         external = stats is not None
         if external:
