@@ -117,14 +117,22 @@ class CachedTextEncoder:
 
 def get_text_encoder(prefer_clap: bool = True, feature_dim: int = 512,
                      mmm_apply: Optional[Callable] = None) -> TextEncoder:
-    """CLAP if locally available, else the deterministic stub; optionally
-    wrapped with the multimodal projection and always cached."""
+    """CLAP if locally available — the TPU-native flax tower first
+    (text/clap_flax.py, converted from the torch checkpoint), then the
+    host-side torch path (the reference's own placement, app.py:59) —
+    else the deterministic stub. Optionally wrapped with the multimodal
+    projection and always cached."""
     base: TextEncoder
     if prefer_clap:
         try:
-            base = ClapTextEncoder()
+            from diffusynth_tpu.text.clap_flax import FlaxClapTextEncoder
+
+            base = FlaxClapTextEncoder.from_torch()
         except Exception:
-            base = HashTextEncoder(feature_dim)
+            try:
+                base = ClapTextEncoder()
+            except Exception:
+                base = HashTextEncoder(feature_dim)
     else:
         base = HashTextEncoder(feature_dim)
     if mmm_apply is not None:
