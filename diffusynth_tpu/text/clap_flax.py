@@ -264,8 +264,12 @@ class FlaxClapTextEncoder:
         return cls(tokenizer, params, cfg)
 
     def encode(self, prompts: Sequence[str]) -> np.ndarray:
+        # Bucket the padded length to multiples of 16: each distinct
+        # (B, L) is one compiled TPU program, and prompt lengths vary
+        # per request. Extra pad tokens are inert (masked bias + fairseq
+        # position ids; pinned by test_clap_flax.py::test_padding_is_inert).
         tokens = self.tokenizer(list(prompts), padding=True,
-                                return_tensors="np")
+                                pad_to_multiple_of=16, return_tensors="np")
         feats = self._apply(self._params,
                             jnp.asarray(tokens["input_ids"], jnp.int32),
                             jnp.asarray(tokens["attention_mask"], jnp.int32))

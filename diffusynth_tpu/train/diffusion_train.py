@@ -26,10 +26,18 @@ from diffusynth_tpu.train.logging import MetricLogger
 
 
 def p_losses(unet_apply, params, key, x_start, t, condition, schedule_consts,
-             loss_type: str = "huber"):
-    """q_sample -> predict noise -> loss (reference: diffusion.py:261-302)."""
+             loss_type: str = "huber", noise=None):
+    """q_sample -> predict noise -> loss (reference: diffusion.py:261-302).
+
+    noise: optional explicit noise tensor (the reference's
+    conditional_p_losses takes the same parameter, diffusion.py:284-285);
+    when None it is drawn from `key`. Injection is what lets
+    tests/test_train_parity.py pin this loss to the torch reference
+    value with shared weights.
+    """
     sqrt_ac, sqrt_1mac = schedule_consts
-    noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
     shape = (-1,) + (1,) * (x_start.ndim - 1)
     x_noisy = (sqrt_ac[t].reshape(shape) * x_start
                + sqrt_1mac[t].reshape(shape) * noise)
