@@ -15,6 +15,14 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 
+class DeviceStuckError(RuntimeError):
+    """The in-flight batch has exceeded the stuck threshold — the device is
+    presumed wedged (the axon backend's known failure mode: a faulted
+    server-side compile blocks every client indefinitely,
+    docs/SCAN_FAULT.md). New requests fail fast instead of burning their
+    full timeout behind a dead batch."""
+
+
 @dataclass
 class _Request:
     signature: Tuple            # static program signature (must batch equal)
@@ -33,10 +41,17 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch: Callable[[Tuple, List[Any]], List[Any]],
-                 max_batch: int = 16, window_ms: float = 30.0):
+                 max_batch: int = 16, window_ms: float = 30.0,
+                 stuck_after_s: float = 900.0):
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        # A batch older than this is presumed wedged (first-compile of the
+        # big programs can legitimately take minutes through the tunnel,
+        # hence the generous default; serving with warmup manifests can
+        # set it much lower).
+        self.stuck_after_s = stuck_after_s
+        self._inflight_since: Optional[float] = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -45,10 +60,25 @@ class MicroBatcher:
         self.requests_served = 0
         self.metrics = None  # optional serving.metrics.Metrics
 
+    def inflight_age_s(self) -> float:
+        """Seconds the current batch has been executing (0 when idle)."""
+        t = self._inflight_since
+        return 0.0 if t is None else time.monotonic() - t
+
+    def is_stuck(self) -> bool:
+        return self.inflight_age_s() > self.stuck_after_s
+
     def submit(self, signature: Tuple, payload: Any, timeout: float = 300.0,
                priority: int = 0):
         """Block until the merged batch containing this request completes.
-        priority > 0 skips the batching window (latency over throughput)."""
+        priority > 0 skips the batching window (latency over throughput).
+        Raises DeviceStuckError immediately when the in-flight batch has
+        exceeded stuck_after_s, and TimeoutError when this request's own
+        wait expires."""
+        if self.is_stuck():
+            raise DeviceStuckError(
+                f"in-flight batch stuck for {self.inflight_age_s():.0f}s "
+                f"(> {self.stuck_after_s:.0f}s); refusing new work")
         req = _Request(signature, payload, priority=priority)
         self._queue.put(req)
         if not req.event.wait(timeout):
@@ -90,6 +120,7 @@ class MicroBatcher:
             # first request's wait.
             now = time.monotonic()
             queue_wait_s = sum(now - r.enqueued_at for r in batch) / len(batch)
+            self._inflight_since = now
             try:
                 results = self._run_batch(
                     first.signature, [r.payload for r in batch])
@@ -100,6 +131,7 @@ class MicroBatcher:
                 for req in batch:
                     req.error = e
             finally:
+                self._inflight_since = None
                 self.batches_run += 1
                 self.requests_served += len(batch)
                 if self.metrics is not None:

@@ -44,7 +44,7 @@ from diffusynth_tpu.pipelines import (
     TrackRenderPipeline,
 )
 from diffusynth_tpu.pipelines.track_render import InstrumentConfig
-from diffusynth_tpu.serving.batcher import MicroBatcher
+from diffusynth_tpu.serving.batcher import DeviceStuckError, MicroBatcher
 from diffusynth_tpu.serving.metrics import Metrics
 
 
@@ -235,11 +235,17 @@ class DiffuSynthServer:
             self.warmup(entry)
 
     def health(self) -> Dict:
+        """Liveness + wedge detection: a batch executing longer than the
+        batcher's stuck threshold flips status to "stuck" (the axon
+        backend's known failure mode is a server-side compile that blocks
+        every client, docs/SCAN_FAULT.md — orchestrators should restart)."""
+        stuck = self.batcher.is_stuck()
         return {
-            "status": "ok",
+            "status": "stuck" if stuck else "ok",
             "backend": jax.default_backend(),
             "batches_run": self.batcher.batches_run,
             "requests_served": self.batcher.requests_served,
+            "inflight_batch_age_s": round(self.batcher.inflight_age_s(), 3),
         }
 
     def metrics_snapshot(self) -> Dict:
@@ -295,6 +301,12 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
                 self._send(200, result)
             except (KeyError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
+            except DeviceStuckError as e:
+                # Device presumed wedged: fail fast, tell clients to back
+                # off until an orchestrator restarts the server.
+                self._send(503, {"error": f"device stuck: {e}"})
+            except TimeoutError as e:
+                self._send(504, {"error": f"generation timed out: {e}"})
             except Exception as e:  # noqa: BLE001 - surface to client
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

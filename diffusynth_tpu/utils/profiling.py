@@ -39,9 +39,27 @@ def trace(log_dir: str, create_perfetto_link: bool = False):
         jax.profiler.stop_trace()
 
 
+def _leaves(x):
+    """Array leaves of x, looking inside plain dataclasses too.
+
+    Pipeline results (Text2SoundResult etc.) are ordinary dataclasses, NOT
+    registered pytrees — jax.tree_util.tree_leaves returns the dataclass
+    itself as one opaque leaf, so a timer that only walked the pytree
+    never synced with the device and measured dispatch-only wall clock
+    (caught 2026-08-18: harness config 2 reported an impossible
+    176 timbres/s)."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(x) and not isinstance(x, type):
+        return [v for f in dataclasses.fields(x)
+                for v in _leaves(getattr(x, f.name))]
+    return jax.tree_util.tree_leaves(x)
+
+
 def _block(result):
-    """block_until_ready on every array leaf of a result pytree."""
-    for leaf in jax.tree_util.tree_leaves(result):
+    """block_until_ready on every array leaf of a result (pytree or
+    dataclass-of-arrays)."""
+    for leaf in _leaves(result):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
     return result

@@ -67,6 +67,55 @@ class TestMicroBatcher:
             b.submit(("x",), 1)
         b.stop()
 
+    def test_submit_timeout(self):
+        release = threading.Event()
+
+        def run_batch(sig, payloads):
+            release.wait(5.0)
+            return payloads
+
+        b = MicroBatcher(run_batch, window_ms=1)
+        with pytest.raises(TimeoutError):
+            b.submit(("x",), 1, timeout=0.1)
+        release.set()
+        b.stop()
+
+    def test_stuck_detection_fails_fast(self):
+        """A wedged batch (device fault, docs/SCAN_FAULT.md) must flip
+        is_stuck() and make NEW submissions raise immediately instead of
+        queuing behind the dead batch for their full timeout."""
+        from diffusynth_tpu.serving.batcher import DeviceStuckError
+
+        release = threading.Event()
+
+        def run_batch(sig, payloads):
+            release.wait(10.0)
+            return payloads
+
+        b = MicroBatcher(run_batch, window_ms=1, stuck_after_s=0.1)
+        assert b.inflight_age_s() == 0.0 and not b.is_stuck()
+        waiter = threading.Thread(
+            target=lambda: pytest.raises(TimeoutError, b.submit, ("x",), 1,
+                                         0.5),
+            daemon=True)
+        waiter.start()
+        deadline = time.monotonic() + 5.0
+        while not b.is_stuck() and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert b.is_stuck() and b.inflight_age_s() > 0.1
+        t0 = time.monotonic()
+        with pytest.raises(DeviceStuckError):
+            b.submit(("x",), 2, timeout=30.0)
+        assert time.monotonic() - t0 < 1.0  # failed fast, not after timeout
+        release.set()
+        waiter.join(timeout=5.0)
+        # Recovered: the finished batch clears the in-flight marker.
+        deadline = time.monotonic() + 5.0
+        while b.is_stuck() and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert not b.is_stuck()
+        b.stop()
+
 
 @pytest.fixture(scope="module")
 def server():
@@ -189,6 +238,15 @@ class TestServingHardening:
         assert ep["count"] >= 1 and ep["p50_s"] > 0
         assert sum(body["batch_size_histogram"].values()) >= 1
         assert body["batch_queue_wait"]["count"] >= 1
+
+    def test_health_reports_inflight_age_and_stuck(self, server):
+        """/health must expose the in-flight batch age and flip to
+        "stuck" past the batcher threshold (wedge detection for
+        orchestrators; docs/SCAN_FAULT.md)."""
+        with urllib.request.urlopen(server + "/health", timeout=30) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok"
+        assert body["inflight_batch_age_s"] == 0.0
 
     def test_warmup_manifest(self, server, tmp_path):
         manifest = tmp_path / "warm.json"
