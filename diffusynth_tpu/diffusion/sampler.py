@@ -61,6 +61,19 @@ def _known_bad_scan_signature(batch: int, cfg_on: bool,
     return batch * (2 if cfg_on else 1) in bad
 
 
+# sampler name -> (eta, solver). "ddim"/"ddpm" mirror the reference
+# (model/DiffSynthSampler.py:296-345, the eta=0/1 DDIM family); "dpmpp" is
+# DPM-Solver++(2M) (Lu et al. 2022), a second-order multistep ODE solver
+# with no reference counterpart: it reaches the 50-step-DDIM sample quality
+# in ~15-25 steps, cutting per-generation U-Net cost ~2-2.5x at the same
+# schedule. Deterministic (eta=0); its first-order step IS the DDIM step.
+_SAMPLERS = {
+    "ddim": (0.0, "euler"),
+    "ddpm": (1.0, "euler"),
+    "dpmpp": (0.0, "dpmpp"),
+}
+
+
 class DiffSynthSampler:
     """Sampling engine over a (respaced) diffusion schedule.
 
@@ -156,10 +169,10 @@ class DiffSynthSampler:
 
     def _get_loop(self, batch: int, width: int, n_steps_exec: int,
                   start_idx: int, eta: float, cfg_on: bool, inpaint: bool,
-                  mask_mode: str, return_traj: bool):
+                  mask_mode: str, return_traj: bool, solver: str = "euler"):
         """Build (or fetch) the jitted scan for one static signature."""
         sig = (batch, width, n_steps_exec, start_idx, eta, cfg_on, inpaint,
-               mask_mode, return_traj, self.CFG, self.num_timesteps)
+               mask_mode, return_traj, solver, self.CFG, self.num_timesteps)
         if sig in self._loop_cache:
             return self._loop_cache[sig]
 
@@ -169,6 +182,50 @@ class DiffSynthSampler:
         sqrt_ac = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
         sqrt_1mac = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
         timestep_map = jnp.asarray(sched.timestep_map, jnp.int32)
+        dpmpp = solver == "dpmpp"
+        if dpmpp:
+            # DPM-Solver++(2M) per-chain-index constants (Lu et al. 2022,
+            # data-prediction multistep form; float64 on host). Stepping
+            # from chain index i to i-1:
+            #   x <- (sigma_prev/sigma_i) * x
+            #        + alpha_prev * (1 - e^{-h_i}) * D_i
+            #   D_i = x0_i + (h_i / (2 h_{i-1})) * (x0_i - x0_prev)
+            # with h_i = lambda_prev(i) - lambda(i), lambda = log(alpha/sigma),
+            # and h_{i-1} the PREVIOUS loop step (chain i+1 -> i; the loop
+            # always walks consecutive respaced indices). First-order
+            # (== DDIM eta=0) on the first iteration (no x0_prev; the first
+            # iteration is always chain index start_idx-1, a static value,
+            # so it is zeroed host-side) and on the final i==0 step where
+            # sigma_prev=0 makes h infinite (the update then returns D
+            # exactly -- diffusers' lower_order_final behavior).
+            ac_np = np.asarray(sched.alphas_cumprod, np.float64)
+            acp_np = np.asarray(sched.alphas_cumprod_prev, np.float64)
+            a_np, s_np = np.sqrt(ac_np), np.sqrt(1.0 - ac_np)
+            ap_np, sp_np = np.sqrt(acp_np), np.sqrt(1.0 - acp_np)
+            lam = 0.5 * (np.log(ac_np) - np.log(1.0 - ac_np))
+            with np.errstate(divide="ignore"):
+                lam_prev = np.where(
+                    sp_np > 0.0,
+                    0.5 * (np.log(acp_np)
+                           - np.log(np.maximum(1.0 - acp_np, 1e-300))),
+                    np.inf,
+                )
+            h_cur = lam_prev - lam
+            h_prev_step = np.ones_like(lam)
+            h_prev_step[:-1] = lam[:-1] - lam[1:]
+            with np.errstate(invalid="ignore"):
+                inv2r_np = np.where(np.isfinite(h_cur),
+                                    h_cur / (2.0 * h_prev_step), 0.0)
+            if start_idx >= 1:
+                inv2r_np[start_idx - 1] = 0.0  # first loop iteration
+            # e^{-h} via the exact ratio (0 at i==0 where sigma_prev=0).
+            exp_neg_h = np.where(sp_np > 0.0,
+                                 (a_np * sp_np)
+                                 / (s_np * np.maximum(ap_np, 1e-300)),
+                                 0.0)
+            dp_sigma_ratio = jnp.asarray(sp_np / s_np, jnp.float32)
+            dp_coef_D = jnp.asarray(ap_np * (1.0 - exp_neg_h), jnp.float32)
+            dp_inv2r = jnp.asarray(inv2r_np, jnp.float32)
         cfg_scale = self.CFG
         unet_apply = self.unet_apply
         height, channels = self.height, self.channels
@@ -192,8 +249,12 @@ class DiffSynthSampler:
                     return eps_u + cfg_scale * (eps_c - eps_u)
                 return unet_apply(params, img, mapped_t_b, _cond)
 
-            def body(img, xs):
+            def body(carry, xs):
                 i, mask_w, step_key = xs
+                if dpmpp:
+                    img, x0_prev = carry
+                else:
+                    img = carry
                 t_b = jnp.full((batch,), i, dtype=jnp.int32)
                 mapped_t_b = timestep_map[t_b]
                 eps = model_eval(img, mapped_t_b, cond, uncond).astype(jnp.float32)
@@ -201,13 +262,17 @@ class DiffSynthSampler:
                 ac_t = alphas_cumprod[i]
                 ac_prev = alphas_cumprod_prev[i]
                 pred_x0 = (img - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
-                sigma = (
-                    eta
-                    * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
-                    * jnp.sqrt(1.0 - ac_t / ac_prev)
-                )
-                dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
-                img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
+                if dpmpp:
+                    D = pred_x0 + dp_inv2r[i] * (pred_x0 - x0_prev)
+                    img = dp_sigma_ratio[i] * img + dp_coef_D[i] * D
+                else:
+                    sigma = (
+                        eta
+                        * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
+                        * jnp.sqrt(1.0 - ac_t / ac_prev)
+                    )
+                    dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
+                    img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
                 if eta > 0.0:
                     if strategy == "repeat":
                         tmpl = jax.random.normal(
@@ -233,6 +298,8 @@ class DiffSynthSampler:
                     else:
                         m = static_mask
                     img = m * blend_src + (1.0 - m) * img
+                if dpmpp:
+                    return (img, pred_x0), (img if return_traj else None)
                 return img, (img if return_traj else None)
 
             i_vals = jnp.arange(
@@ -241,9 +308,13 @@ class DiffSynthSampler:
             step_keys = jax.random.split(key, n_steps_exec)
             if mask_profiles is None:
                 mask_profiles = jnp.zeros((n_steps_exec, width), jnp.float32)
+            init_carry = ((init_img, jnp.zeros_like(init_img)) if dpmpp
+                          else init_img)
             final, traj = jax.lax.scan(
-                body, init_img, (i_vals, mask_profiles, step_keys)
+                body, init_carry, (i_vals, mask_profiles, step_keys)
             )
+            if dpmpp:
+                final = final[0]
             return final, traj
 
         use_python = self.loop_mode in ("python", "window")
@@ -266,8 +337,8 @@ class DiffSynthSampler:
             # identical per-step program runs fine. Same math, one jitted
             # step, host-driven loop; async dispatch matches the scan's
             # steady state (measured 12.41 vs 12.47 s p50 b64).
-            def _body_impl(params, img, i, mask_w, step_key, cond, uncond,
-                           guide, init_noise, static_mask):
+            def _body_impl(params, img, x0_prev, i, mask_w, step_key, cond,
+                           uncond, guide, init_noise, static_mask):
 
                 def model_eval(img, mapped_t_b):
                     if cfg_on:
@@ -284,10 +355,14 @@ class DiffSynthSampler:
                 ac_t = alphas_cumprod[i]
                 ac_prev = alphas_cumprod_prev[i]
                 pred_x0 = (img - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
-                sigma = (eta * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
-                         * jnp.sqrt(1.0 - ac_t / ac_prev))
-                dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
-                img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
+                if dpmpp:
+                    D = pred_x0 + dp_inv2r[i] * (pred_x0 - x0_prev)
+                    img = dp_sigma_ratio[i] * img + dp_coef_D[i] * D
+                else:
+                    sigma = (eta * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
+                             * jnp.sqrt(1.0 - ac_t / ac_prev))
+                    dir_xt = jnp.sqrt(1.0 - ac_prev - sigma**2) * eps
+                    img = jnp.sqrt(ac_prev) * pred_x0 + dir_xt
                 if eta > 0.0:
                     if strategy == "repeat":
                         tmpl = jax.random.normal(
@@ -306,11 +381,17 @@ class DiffSynthSampler:
                     m = (mask_w.reshape(1, 1, width, 1)
                          if mask_mode == "dynamic" else static_mask)
                     img = m * blend_src + (1.0 - m) * img
+                if dpmpp:
+                    return img, pred_x0
                 return img
 
             from diffusynth_tpu.utils.aot_cache import aot_jit
             jitted_step = aot_jit(_body_impl,
                                   name="sampler_step")
+            # For the euler/ancestral solvers x0_prev is an unused traced
+            # placeholder (DCE'd by XLA); dpmpp threads the previous x0
+            # estimate through it (2M multistep history).
+            x0_placeholder = jnp.zeros((1,), jnp.float32)
 
             # loop_mode="window": scan W consecutive steps per dispatch —
             # same step math, 1/W the host->device round trips (each
@@ -326,15 +407,19 @@ class DiffSynthSampler:
                         break
 
             if W > 1:
-                def _window_impl(params, img, i_w, masks_w, keys_w, cond,
-                                 uncond, guide, init_noise, static_mask):
-                    def body(img, xs):
+                def _window_impl(params, img, x0_prev, i_w, masks_w, keys_w,
+                                 cond, uncond, guide, init_noise, static_mask):
+                    def body(carry, xs):
                         i, m, k = xs
-                        img = _body_impl(params, img, i, m, k, cond,
+                        img, x0p = carry
+                        out = _body_impl(params, img, x0p, i, m, k, cond,
                                          uncond, guide, init_noise,
                                          static_mask)
-                        return img, (img if return_traj else None)
-                    return jax.lax.scan(body, img, (i_w, masks_w, keys_w))
+                        img, x0p = out if dpmpp else (out, x0p)
+                        return (img, x0p), (img if return_traj else None)
+                    (img, x0_prev), traj = jax.lax.scan(
+                        body, (img, x0_prev), (i_w, masks_w, keys_w))
+                    return img, x0_prev, traj
 
                 jitted_window = aot_jit(_window_impl, name="sampler_window")
 
@@ -347,12 +432,13 @@ class DiffSynthSampler:
                     mask_profiles = jnp.zeros((n_steps_exec, width),
                                               jnp.float32)
                 img = init_img
+                x0p = jnp.zeros_like(init_img) if dpmpp else x0_placeholder
                 traj = []
                 if W > 1:
                     i_dev = jnp.asarray(i_vals, jnp.int32)
                     for w0 in range(0, n_steps_exec, W):
-                        img, tw = jitted_window(
-                            params, img, i_dev[w0:w0 + W],
+                        img, x0p, tw = jitted_window(
+                            params, img, x0p, i_dev[w0:w0 + W],
                             mask_profiles[w0:w0 + W], step_keys[w0:w0 + W],
                             cond, uncond, guide, init_noise, static_mask)
                         if return_traj:
@@ -360,9 +446,10 @@ class DiffSynthSampler:
                     return img, (jnp.concatenate(traj)
                                  if return_traj else None)
                 for j, i in enumerate(i_vals):
-                    img = jitted_step(params, img, jnp.int32(i),
+                    out = jitted_step(params, img, x0p, jnp.int32(i),
                                       mask_profiles[j], step_keys[j], cond,
                                       uncond, guide, init_noise, static_mask)
+                    img, x0p = out if dpmpp else (out, x0p)
                     if return_traj:
                         traj.append(img)
                 return img, (jnp.stack(traj) if return_traj else None)
@@ -402,7 +489,7 @@ class DiffSynthSampler:
         """
         B, H, W, C = shape
         assert H == self.height and C == self.channels, (shape,)
-        eta = {"ddim": 0.0, "ddpm": 1.0}[sampler]
+        eta, solver = _SAMPLERS[sampler]
 
         key_init, key_steps = jax.random.split(key)
         init_noise, concat_points = self.build_noise(
@@ -452,7 +539,7 @@ class DiffSynthSampler:
 
         loop = self._get_loop(
             B, W, n_steps, start_idx, eta, self.CFG != 1.0, inpaint,
-            mask_mode, return_trajectory,
+            mask_mode, return_trajectory, solver,
         )
 
         uncond = None
@@ -566,10 +653,10 @@ class DiffSynthSampler:
                            sampler, return_trajectory):
         """sample() but with a fully specified initial noise tensor."""
         B, H, W, C = shape
-        eta = {"ddim": 0.0, "ddpm": 1.0}[sampler]
+        eta, solver = _SAMPLERS[sampler]
         n_steps = self.num_timesteps
         loop = self._get_loop(B, W, n_steps, n_steps, eta, self.CFG != 1.0,
-                              False, "none", return_trajectory)
+                              False, "none", return_trajectory, solver)
         uncond = None
         if self.CFG != 1.0:
             uncond = jnp.broadcast_to(

@@ -7,6 +7,7 @@ Endpoints (JSON in, JSON out; audio as base64 WAV):
   POST /v1/text2sound             {"prompt": ..., "negative_prompt": "",
                                    "duration_sec": 3.0, "steps": 20,
                                    "cfg": 6.0, "sampler": "ddim", "seed": 0}
+                                  (sampler: ddim | ddpm | dpmpp)
   POST /v1/sound2sound            {"audio_b64": ..., "sample_rate": 16000,
                                    "prompt": ..., "noising_strength": 0.7, ...}
   POST /v1/track                  {"midi_b64": ..., "instrument":

@@ -75,7 +75,10 @@ def build_app(runtime: DiffuSynthRuntime):
                 batch = gr.Slider(1, 16, value=4, step=1, label="Batch size")
             with gr.Row():
                 cfg = gr.Slider(0, 20, value=6, step=0.5, label="CFG scale")
-                sampler = gr.Radio(["ddim", "ddpm"], value="ddim",
+                # dpmpp (DPM-Solver++ 2M) is a framework extension over the
+                # reference's ddim/ddpm radio (gradio_webUI.py:64-66):
+                # ~50-step-DDIM quality at 15-25 steps.
+                sampler = gr.Radio(["ddim", "ddpm", "dpmpp"], value="ddim",
                                    label="Sampler")
                 seed = gr.Number(value=0, label="Seed", precision=0)
             out_spec = gr.Image(label="Spectrogram")

@@ -38,6 +38,10 @@ def _sampler(loop_mode, cfg=None):
     ("img2img", None, "ddim"),
     ("img2img", 4.0, "ddpm"),
     ("interpolate", None, "ddim"),
+    ("sample", None, "dpmpp"),
+    ("sample", 3.0, "dpmpp"),
+    ("inpaint", None, "dpmpp"),
+    ("img2img", None, "dpmpp"),
 ])
 def test_python_loop_matches_scan(mode, cfg, sampler_name):
     shape = (2, H, 24, C)
