@@ -57,7 +57,12 @@ def main():
     from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
 
     batch = 64
-    steps = 50
+    # DIFFUSYNTH_BENCH_SAMPLER / _STEPS: measure a non-headline sampler
+    # config (e.g. dpmpp at 20 steps — quality-matched to ddim-50 per
+    # benchmarks/sampler_convergence.py). The metric name is tagged below
+    # so these runs can't be pasted as the 50-step-DDIM headline.
+    sampler = os.environ.get("DIFFUSYNTH_BENCH_SAMPLER", "ddim")
+    steps = int(os.environ.get("DIFFUSYNTH_BENCH_STEPS", "50"))
     duration = 3.0  # 4 s nominal note -> width 64 (reference: text2sound.py:84)
     cfg_scale = 6.0
 
@@ -99,7 +104,7 @@ def main():
     def run(seed):
         res = pipe("a bright synthetic lead", "noise", batchsize=batch,
                    duration_sec=duration, steps=steps, cfg=cfg_scale,
-                   sampler="ddim", seed=seed, return_audio=True,
+                   sampler=sampler, seed=seed, return_audio=True,
                    audio_format=audio_format)
         return res.audio
 
@@ -120,7 +125,9 @@ def main():
     # knob run can't be pasted as the reference-parity headline number.
     knobs = [k for k in (quant, preset,
                          os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE"),
-                         audio_format if audio_format != "f32" else None)
+                         audio_format if audio_format != "f32" else None,
+                         None if (sampler, steps) == ("ddim", 50)
+                         else f"{sampler}{steps}")
              if k and k != "python"]
     metric = "timbres_per_sec_per_chip_b64_ddim50_cfg"
     if knobs:
@@ -133,7 +140,8 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# p50 wall {p50:.3f}s for batch {batch} ({steps}-step DDIM + CFG + "
+        f"# p50 wall {p50:.3f}s for batch {batch} ({steps}-step "
+        f"{sampler.upper()} + CFG + "
         f"VQGAN decode + ISTFT); compile {compile_s:.1f}s; "
         f"platform {jax.default_backend()}",
         file=sys.stderr,
