@@ -6,10 +6,11 @@
 
 Models: vqgan | diffusion | timbre | contrastive | gan.
 Data: --data <hdf5> (NSynth layout, see train/data.py) or --synthetic.
-Conditions: diffusion/gan/contrastive need text features per attribute key;
-with --synthetic (or no caption mapping) a deterministic hash embedding per
-create_key stands in (the reference uses GPT-caption CLAP embeddings keyed
-the same way, SURVEY.md section 1).
+Conditions: diffusion/gan/contrastive need text features per attribute key.
+--captions <json> supplies the reference's encodes2embeddings mapping
+(create_key -> list of CLAP caption embeddings; a random variant is picked
+per sample each step, reference: model/diffusion.py:471-476); without it a
+deterministic hash embedding per create_key stands in.
 """
 
 from __future__ import annotations
@@ -51,6 +52,43 @@ def _condition_lookup(dim: int = 512):
     return lookup
 
 
+def _mapping_lookup(path: str, dim: int, seed: int):
+    """Condition lookup backed by a create_key -> [embedding, ...] JSON
+    mapping (the reference's encodes2embeddings_mapping side-data;
+    reference: model/diffusion.py:471-476 picks a random caption variant
+    per sample each step). Keys absent from the mapping fall back to the
+    deterministic hash embedding."""
+    from diffusynth_tpu.train.data import load_caption_mapping
+
+    mapping = load_caption_mapping(path)
+    rng = np.random.default_rng(seed)
+    fallback = HashTextEncoder(dim)
+    missing = set()
+
+    def lookup(attributes):
+        out = np.empty((len(attributes), dim), dtype=np.float32)
+        for i, a in enumerate(attributes):
+            key = create_key(a)
+            variants = mapping.get(key)
+            if not variants:
+                if key not in missing:
+                    missing.add(key)
+                    print(f"[captions] no embedding for key {key!r}; "
+                          f"using the hash stand-in")
+                out[i] = fallback.encode([key])[0]
+                continue
+            if np.isscalar(variants[0]) or isinstance(variants[0], float):
+                v = np.asarray(variants, dtype=np.float32)  # single embedding
+            else:
+                v = np.asarray(variants[int(rng.integers(len(variants)))],
+                               dtype=np.float32)
+            assert v.shape == (dim,), (v.shape, dim)
+            out[i] = v
+        return out
+
+    return lookup
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", required=True,
@@ -66,6 +104,12 @@ def main(argv=None):
     parser.add_argument("--name", default=None)
     parser.add_argument("--mesh", action="store_true",
                         help="data-parallel over all devices")
+    parser.add_argument("--captions", default=None,
+                        help="create_key -> [CLAP embedding, ...] JSON "
+                             "mapping (the reference's encodes2embeddings "
+                             "side-data); conditions diffusion/gan/"
+                             "contrastive training on real caption "
+                             "embeddings instead of the hash stand-in")
     parser.add_argument("--ema-decay", type=float, default=None,
                         help="weight-EMA decay for diffusion training "
                              "(e.g. 0.9995; default off = reference "
@@ -91,7 +135,11 @@ def main(argv=None):
         mesh = make_mesh()
 
     ckpt = Checkpointer(args.models_dir)
-    lookup = _condition_lookup(app.unet.label_emb_dim)
+    if args.captions:
+        lookup = _mapping_lookup(args.captions, app.unet.label_emb_dim,
+                                 args.seed)
+    else:
+        lookup = _condition_lookup(app.unet.label_emb_dim)
 
     if args.model == "vqgan":
         cfg = VQGANTrainConfig(model_name=args.name or "vqgan")
@@ -130,7 +178,11 @@ def main(argv=None):
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
-        tf_lookup = _condition_lookup(app.multimodal.text_feature_dim)
+        tf_lookup = (_mapping_lookup(args.captions,
+                                     app.multimodal.text_feature_dim,
+                                     args.seed)
+                     if args.captions else
+                     _condition_lookup(app.multimodal.text_feature_dim))
         train_multimodal(app.multimodal, app.timbre, cfg, it, tf_lookup,
                          checkpointer=ckpt, mesh=mesh, seed=args.seed)
     elif args.model == "gan":

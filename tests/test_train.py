@@ -312,6 +312,43 @@ class TestDataPipeline:
         b, _ = ds.get_batch(np.array([2]))
         np.testing.assert_allclose(a, b)
 
+    def test_caption_mapping_lookup(self, tmp_path):
+        """--captions semantics: random variant per sample, flat single
+        embeddings accepted, missing keys fall back to the hash stand-in
+        (reference: model/diffusion.py:471-476)."""
+        import json
+
+        from diffusynth_tpu.dsp.utils import create_key
+        from diffusynth_tpu.train.run import _mapping_lookup
+
+        dim = 8
+
+        def attr(src, fam, bits):
+            return {"instrument_source_str": src,
+                    "instrument_family_str": fam, "qualities": bits}
+
+        attrs = [attr("acoustic", "organ", [0, 1]),
+                 attr("electronic", "string", [1, 0]),
+                 attr("synthetic", "brass", [1, 1])]
+        k0, k1 = create_key(attrs[0]), create_key(attrs[1])
+        mapping = {
+            k0: [[1.0] * dim, [2.0] * dim],   # two caption variants
+            k1: [3.0] * dim,                  # flat single embedding
+        }                                      # attrs[2]'s key: missing
+        path = tmp_path / "map.json"
+        path.write_text(json.dumps(mapping))
+
+        lookup = _mapping_lookup(str(path), dim, seed=0)
+        out = lookup(attrs)
+        assert out.shape == (3, dim) and out.dtype == np.float32
+        assert out[0, 0] in (1.0, 2.0) and (out[0] == out[0, 0]).all()
+        np.testing.assert_allclose(out[1], 3.0)
+        assert np.abs(out[2]).max() > 0  # hash fallback, not zeros
+        # Variant choice varies across repeated lookups (random.choice
+        # per step in the reference).
+        draws = {float(lookup(attrs)[0, 0]) for _ in range(16)}
+        assert draws == {1.0, 2.0}
+
 
 class TestMetrics:
     def test_inception_score_bounds(self):
