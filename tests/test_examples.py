@@ -57,6 +57,13 @@ def test_render_midi_example(tmp_path):
     assert (tmp_path / "track.wav").exists()
 
 
+def test_interpolate_example(tmp_path):
+    out = _run("interpolate.py", "--batch", "3", "--steps", "3",
+               "--out", str(tmp_path))
+    assert "3 interpolation points" in out
+    assert (tmp_path / "interpolate_2.wav").exists()
+
+
 def test_multichip_example(tmp_path):
     out = _run("multichip_inference.py", "--batch", "8", "--steps", "3",
                "--out", str(tmp_path))
