@@ -94,9 +94,12 @@ class TestMicroBatcher:
 
         b = MicroBatcher(run_batch, window_ms=1, stuck_after_s=0.1)
         assert b.inflight_age_s() == 0.0 and not b.is_stuck()
+        # The waiter exists to put a batch in flight; its own submission
+        # completes once released (outcome asserted after join — an
+        # in-thread pytest.raises failure would only warn, not fail).
+        outcome = []
         waiter = threading.Thread(
-            target=lambda: pytest.raises(TimeoutError, b.submit, ("x",), 1,
-                                         0.5),
+            target=lambda: outcome.append(b.submit(("x",), 1, timeout=30.0)),
             daemon=True)
         waiter.start()
         deadline = time.monotonic() + 5.0
@@ -109,6 +112,7 @@ class TestMicroBatcher:
         assert time.monotonic() - t0 < 1.0  # failed fast, not after timeout
         release.set()
         waiter.join(timeout=5.0)
+        assert outcome == [1]  # the stuck batch itself completed on release
         # Recovered: the finished batch clears the in-flight marker.
         deadline = time.monotonic() + 5.0
         while b.is_stuck() and time.monotonic() < deadline:
