@@ -24,3 +24,29 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from diffusynth_tpu import configs  # noqa: F401
+
+# Lazy top-level API: `from diffusynth_tpu import DiffuSynthRuntime` etc.
+# without paying every submodule's import cost at package import.
+_TOP_LEVEL = {
+    "DiffuSynthRuntime": "diffusynth_tpu.pipelines",
+    "Text2SoundPipeline": "diffusynth_tpu.pipelines",
+    "Sound2SoundPipeline": "diffusynth_tpu.pipelines",
+    "InpaintPipeline": "diffusynth_tpu.pipelines",
+    "TrackRenderPipeline": "diffusynth_tpu.pipelines",
+    "DiffSynthSampler": "diffusynth_tpu.diffusion",
+    "AppConfig": "diffusynth_tpu.configs",
+    "get_text_encoder": "diffusynth_tpu.text",
+}
+
+
+def __getattr__(name):
+    target = _TOP_LEVEL.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_TOP_LEVEL))
