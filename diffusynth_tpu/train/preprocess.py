@@ -116,8 +116,21 @@ def main(argv=None):
     parser.add_argument("--latents", action="store_true",
                         help="store VQ-GAN latents instead of STFT+ tensors")
     parser.add_argument("--labels-json", default=None)
+    parser.add_argument("--checkpoint", default=None,
+                        help="models dir with a trained VQ-GAN (orbax, as "
+                             "written by train.run / convert_cli); required "
+                             "for meaningful --latents (random-init encodes "
+                             "are only useful for pipeline smoke tests)")
     args = parser.parse_args(argv)
-    out, shape = build_hdf5(args.audio_dir, args.out,
+    runtime = None
+    if args.checkpoint:
+        from diffusynth_tpu.pipelines import DiffuSynthRuntime
+        from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
+
+        runtime = DiffuSynthRuntime.from_pretrained(
+            args.checkpoint,
+            text_encoder=CachedTextEncoder(HashTextEncoder(512)))
+    out, shape = build_hdf5(args.audio_dir, args.out, runtime=runtime,
                             duration_sec=args.duration,
                             to_latents=args.latents,
                             labels_json=args.labels_json)
