@@ -61,7 +61,12 @@ class MidiTrack:
     def note_events(self) -> List[NoteEvent]:
         """Close note_on(v>0) with note_on(v==0) OR note_off on the same
         pitch (reference closes only on v==0 note_on,
-        track_maker.py:104-112)."""
+        track_maker.py:104-112).
+
+        Deliberate deviation: NoteEvent.velocity is the ONSET velocity.
+        The reference stores the closing event's velocity — always 0 —
+        which is harmless there because nothing reads it; here
+        InstrumentConfig.velocity_sensitivity does."""
         events: List[NoteEvent] = []
         start_time = 0
         open_notes = {}
@@ -75,7 +80,7 @@ class MidiTrack:
                     if msg.note in open_notes:
                         on_time, vel = open_notes.pop(msg.note)
                         events.append(NoteEvent(
-                            msg.note, msg.velocity, on_time,
+                            msg.note, vel, on_time,
                             start_time - on_time,
                         ))
         return events

@@ -49,6 +49,11 @@ class InstrumentConfig:
     attack: float = 0.5               # kept for parity; unused under dynamic
     before_release: float = 0.5       # masks, exactly like the reference
     mask_flexivity: float = 1.0
+    # Beyond-reference, opt-in: scale note amplitude by
+    # (velocity/127)**velocity_sensitivity. The reference parses MIDI
+    # velocity but its note closure ignores it (track_maker.py:229-283);
+    # 0.0 preserves that behavior exactly.
+    velocity_sensitivity: float = 0.0
 
 
 @dataclass
@@ -246,6 +251,13 @@ class TrackRenderPipeline:
 
         rendered = self._render_base_notes(jobs, instruments, seed)
         note_audios = self._pitch_shift_notes(jobs, rendered)
+
+        # Opt-in velocity dynamics (InstrumentConfig.velocity_sensitivity).
+        for i, j in enumerate(jobs):
+            sens = instruments[j.instrument].velocity_sensitivity
+            if sens > 0.0:
+                gain = (max(j.velocity, 1) / 127.0) ** sens
+                note_audios[i] = np.asarray(note_audios[i]) * np.float32(gain)
 
         # Host mixdown: scatter-add into per-track buffers, then sum
         # (multithreaded C++ when built; numpy fallback otherwise).

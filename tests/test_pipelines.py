@@ -267,3 +267,38 @@ class TestTrackRender:
         assert len(audio) > 10 * sr  # includes the safety tail
         assert np.isfinite(audio).all()
         assert np.abs(audio).max() > 0  # notes actually mixed in
+
+    def test_velocity_sensitivity(self, runtime, tmp_path):
+        """velocity_sensitivity=0 ignores velocity exactly like the
+        reference (track_maker.py:229-283); >0 scales note gain by
+        (velocity/127)**s."""
+        path = str(tmp_path / "vel.mid")
+        # Same pitch+duration at two velocities, non-overlapping in time
+        # (track buffers are sized by summed durations + tail, so starts
+        # must stay inside that envelope).
+        write_midi(path, [(52, 127, 0, 2880), (52, 32, 4800, 2880)],
+                   ticks_per_beat=480)
+        mid = MidiFile.from_file(path)
+        latent = jnp.asarray(np.random.default_rng(0)
+                             .standard_normal((1, 16, 8, 4))
+                             .astype(np.float32))
+        sr = runtime.config.audio.sample_rate
+
+        def render(sens):
+            pipe = TrackRenderPipeline(runtime)
+            cfg = InstrumentConfig(latent=latent, sample_steps=3,
+                                   velocity_sensitivity=sens)
+            return pipe.render(mid, {"p": cfg}, ["p"], seed=7)
+
+        flat = render(0.0)
+        dyn = render(1.0)
+        # Identical pitch/duration -> identical rendered note; only the
+        # gain differs. First note spans [0, ~3 s); the second starts at
+        # 4800 ticks * (0.5 s / 480 ticks) = 5 s.
+        n1 = slice(0, 3 * sr)
+        n2 = slice(5 * sr, 8 * sr)
+        np.testing.assert_allclose(dyn[n1], flat[n1], atol=1e-6)  # v=127
+        rms = lambda x: float(np.sqrt(np.mean(x ** 2)))
+        assert rms(flat[n2]) > 0
+        np.testing.assert_allclose(rms(dyn[n2]) / rms(flat[n2]), 32 / 127,
+                                   rtol=1e-3)

@@ -162,6 +162,21 @@ class TestHTTPServer:
         assert audio.dtype == np.int16  # standard PCM16, device-converted
         assert np.isfinite(audio.astype(np.float64)).all()
 
+    def test_text2sound_dpmpp_sampler(self, server):
+        """The sampler request field reaches the engine (dpmpp vs ddim at
+        the same seed must differ; an ignored field would return the ddim
+        result for both)."""
+        def gen(sampler):
+            status, body = _post(server, "/v1/text2sound", {
+                "prompt": "a tiny organ", "duration_sec": 1.0, "steps": 4,
+                "cfg": 1.0, "seed": 4, "sampler": sampler,
+            })
+            assert status == 200
+            return base64.b64decode(body["audio_b64"])
+
+        assert gen("dpmpp") != gen("ddim")
+        assert gen("dpmpp") == gen("dpmpp")  # deterministic per seed
+
     def test_concurrent_requests_batch(self, server):
         results = [None] * 3
 
