@@ -204,35 +204,70 @@ def build_app(runtime: DiffuSynthRuntime):
             midi_choice = gr.Dropdown(list(midis), value=list(midis)[0],
                                       label="Preset MIDI")
             midi_upload = gr.File(label="...or upload a MIDI file")
+            default_instrument = list(instruments)[0]
             instrument_choice = gr.Dropdown(
-                list(instruments), value=list(instruments)[0],
-                label="Instrument (all tracks)")
+                list(instruments), value=default_instrument,
+                label="Default instrument (tracks without a selection)")
             gr.Button("Refresh instruments").click(
                 lambda: gr.update(choices=list(instruments)), [],
                 [instrument_choice])
+            # Per-track instrument names; [] = every track plays the
+            # default. Mirrors the reference's current_instruments_state
+            # (note2music.py:145,188-212).
+            track_instruments = gr.State([])
+
+            @gr.render(inputs=[midi_choice, midi_upload])
+            def _per_track_dropdowns(midi_name, upload):
+                path = (upload.name if upload is not None
+                        else midis[midi_name])
+                mid = MidiFile.from_file(path)
+                dropdowns = [
+                    gr.Dropdown(
+                        list(instruments), value=default_instrument,
+                        label=f"Track {i}: {len(t.note_events)} notes")
+                    for i, t in enumerate(mid.tracks)
+                ]
+
+                def _select(*names):
+                    return list(names)
+
+                for d in dropdowns:
+                    d.change(_select, dropdowns, [track_instruments])
+
             max_notes = gr.Slider(1, 1000, value=100, step=1,
                                   label="Max notes per track")
             arr_steps = gr.Slider(4, 50, value=10, step=1,
                                   label="Sample steps per note")
+            arr_velocity = gr.Slider(
+                0.0, 2.0, value=0.0, step=0.1,
+                label="Velocity sensitivity (0 = ignore velocity, "
+                      "reference behavior)")
             arr_audio = gr.Audio(label="Rendered track")
 
-            def _arrange(midi_name, upload, instrument, mn, st):
-                path = upload.name if upload is not None else midis[midi_name]
+            def _arrange(midi_name, upload, per_track, default, mn, st, vs):
+                path = (upload.name if upload is not None
+                        else midis[midi_name])
                 mid = MidiFile.from_file(path)
-                inst_cfg = InstrumentConfig(
-                    latent=instruments[instrument]["latent_representation"],
-                    sample_steps=int(st),
-                )
-                names = [instrument] * len(mid.tracks)
-                audio = track_render.render(
-                    mid, {instrument: inst_cfg}, names, max_notes=int(mn))
+                names = list(per_track) if per_track else []
+                # Pad/crop against stale state after a MIDI switch.
+                names = (names + [default] * len(mid.tracks))[:len(mid.tracks)]
+                cfgs = {
+                    n: InstrumentConfig(
+                        latent=instruments[n]["latent_representation"],
+                        sample_steps=int(st),
+                        velocity_sensitivity=float(vs),
+                    )
+                    for n in set(names)
+                }
+                audio = track_render.render(mid, cfgs, names,
+                                            max_notes=int(mn))
                 peak = np.abs(audio).max()
                 return (a.sample_rate, audio / peak if peak > 0 else audio)
 
             gr.Button("Make track").click(
                 _arrange,
-                [midi_choice, midi_upload, instrument_choice, max_notes,
-                 arr_steps],
+                [midi_choice, midi_upload, track_instruments,
+                 instrument_choice, max_notes, arr_steps, arr_velocity],
                 [arr_audio],
             )
 

@@ -63,6 +63,11 @@ class Dropdown(_Component):
     pass
 
 
+class State(_Component):
+    def __init__(self, value=None, **kwargs):
+        super().__init__(value=value, **kwargs)
+
+
 class File(_Component):
     pass
 
@@ -120,3 +125,16 @@ themes = _Themes()
 
 def update(**kwargs):
     return {"__type__": "update", **kwargs}
+
+
+def render(inputs=None, triggers=None):
+    """Stub of gr.render: run the decorated fn ONCE at build time with the
+    input components' default values (real gradio re-runs it whenever an
+    input changes). Components/events it creates are recorded normally."""
+    inputs = inputs or []
+
+    def deco(fn):
+        fn(*[c.value for c in inputs])
+        return fn
+
+    return deco

@@ -124,3 +124,36 @@ class TestBlocksAssembly:
         sr, audio = out[-1]          # gr.Audio output: (sample_rate, wave)
         assert sr > 0
         assert np.isfinite(audio).all()
+
+    @staticmethod
+    def _find(demo, fn_name, event="click"):
+        for w in demo.clicks:
+            if w["event"] == event and w["fn"].__name__ == fn_name:
+                return w
+        raise AssertionError(f"no {event} wiring for {fn_name}")
+
+    def test_arrangement_per_track_dropdowns(self, demo):
+        """The gr.render block creates one instrument dropdown per MIDI
+        track (reference: note2music.py:188-212) whose change handler
+        yields the per-track name list."""
+        sel = self._find(demo, "_select", event="change")
+        # The default preset MIDI is single-track -> one dropdown input.
+        assert len(sel["inputs"]) == 1
+        assert sel["fn"]("preset_string") == ["preset_string"]
+
+    def test_arrangement_callback_default_and_per_track(self, demo):
+        wiring = self._find(demo, "_arrange")
+        midi_name = wiring["inputs"][0].value
+        default = wiring["inputs"][3].value
+        # Default path: empty per-track state -> default instrument on
+        # every track; nonzero velocity sensitivity exercised.
+        sr, audio = wiring["fn"](midi_name, None, [], default, 4, 4, 0.5)
+        assert sr > 0 and np.isfinite(audio).all() and len(audio) > sr
+        # Per-track path: a different instrument changes the rendering.
+        other = "preset_string" if default != "preset_string" \
+            else "preset_organ"
+        sr2, audio2 = wiring["fn"](midi_name, None, [other], default, 4, 4,
+                                   0.5)
+        assert np.isfinite(audio2).all()
+        n = min(len(audio), len(audio2))
+        assert not np.allclose(audio[:n], audio2[:n])
