@@ -171,8 +171,20 @@ class DiffSynthSampler:
                   start_idx: int, eta: float, cfg_on: bool, inpaint: bool,
                   mask_mode: str, return_traj: bool, solver: str = "euler"):
         """Build (or fetch) the jitted scan for one static signature."""
+        import os
+
+        # CFG prefix sharing (nn/unet.py cfg_dual): the U-Net's
+        # condition-independent prefix (init_conv + downs_0_0) runs once at
+        # batch B instead of twice in the CFG double — exact same math,
+        # measured device win (RESULTS_r2.md H13). Opt out with
+        # DIFFUSYNTH_CFG_PREFIX_SHARE=0 (A/B measurement hook).
+        cfg_dual = (cfg_on
+                    and getattr(self.unet_apply, "supports_cfg_dual", False)
+                    and os.environ.get("DIFFUSYNTH_CFG_PREFIX_SHARE",
+                                       "1") != "0")
         sig = (batch, width, n_steps_exec, start_idx, eta, cfg_on, inpaint,
-               mask_mode, return_traj, solver, self.CFG, self.num_timesteps)
+               mask_mode, return_traj, solver, self.CFG, self.num_timesteps,
+               cfg_dual)
         if sig in self._loop_cache:
             return self._loop_cache[sig]
 
@@ -241,10 +253,15 @@ class DiffSynthSampler:
 
             def model_eval(img, mapped_t_b, _cond, _uncond):
                 if cfg_on:
-                    x_in = jnp.concatenate([img, img], axis=0)
-                    t_in = jnp.concatenate([mapped_t_b, mapped_t_b], axis=0)
                     c_in = jnp.concatenate([_uncond, _cond], axis=0)
-                    eps = unet_apply(params, x_in, t_in, c_in)
+                    if cfg_dual:
+                        eps = unet_apply(params, img, mapped_t_b, c_in,
+                                         cfg_dual=True)
+                    else:
+                        x_in = jnp.concatenate([img, img], axis=0)
+                        t_in = jnp.concatenate(
+                            [mapped_t_b, mapped_t_b], axis=0)
+                        eps = unet_apply(params, x_in, t_in, c_in)
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     return eps_u + cfg_scale * (eps_c - eps_u)
                 return unet_apply(params, img, mapped_t_b, _cond)
@@ -342,10 +359,15 @@ class DiffSynthSampler:
 
                 def model_eval(img, mapped_t_b):
                     if cfg_on:
-                        x_in = jnp.concatenate([img, img], axis=0)
-                        t_in = jnp.concatenate([mapped_t_b, mapped_t_b], axis=0)
                         c_in = jnp.concatenate([uncond, cond], axis=0)
-                        eps = unet_apply(params, x_in, t_in, c_in)
+                        if cfg_dual:
+                            eps = unet_apply(params, img, mapped_t_b, c_in,
+                                             cfg_dual=True)
+                        else:
+                            x_in = jnp.concatenate([img, img], axis=0)
+                            t_in = jnp.concatenate(
+                                [mapped_t_b, mapped_t_b], axis=0)
+                            eps = unet_apply(params, x_in, t_in, c_in)
                         eps_u, eps_c = jnp.split(eps, 2, axis=0)
                         return eps_u + cfg_scale * (eps_c - eps_u)
                     return unet_apply(params, img, mapped_t_b, cond)

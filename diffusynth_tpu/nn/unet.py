@@ -136,9 +136,23 @@ class ConditionedUnet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, time, condition=None):
+    def __call__(self, x, time, condition=None, cfg_dual: bool = False):
         """x: (B, H, W, in_dim); time: (B,) int timesteps;
-        condition: (B, label_emb_dim) or None. Returns (B, H, W, out_dim)."""
+        condition: (B, label_emb_dim) or None. Returns (B, H, W, out_dim).
+
+        cfg_dual: classifier-free-guidance prefix sharing. The condition
+        first enters the network at the downs_0_1 attention, so for the
+        CFG batch-double (reference: DiffSynthSampler.py:314-320, x_in =
+        cat([x]*2) with [uncond; cond] labels) the init_conv and downs_0_0
+        activations of the two halves are IDENTICAL — XLA cannot CSE
+        across the batch concat, so the naive double computes the most
+        expensive full-resolution ConvNeXt block twice. With cfg_dual=True
+        the caller passes x/time at the HALF batch B and condition at 2B
+        ([uncond; cond]); the condition-independent prefix runs once at B
+        and the result is batch-tiled before the first conditioned op.
+        Output is (2B, H, W, out_dim) = exactly __call__(cat([x, x]),
+        cat([time, time]), condition) (tests/test_nn.py). Measured device
+        win at the production config: benchmarks/RESULTS_r2.md H13."""
         cfg = self.config
         down_dims = list(cfg.down_dims)
         up_dims = list(cfg.up_dims)
@@ -146,6 +160,12 @@ class ConditionedUnet(nn.Module):
         assert down_dims[0] == up_dims[-1] and up_dims[0] == down_dims[-1]
         out_dim = cfg.out_dim if cfg.out_dim is not None else cfg.in_dim
         time_dim = cfg.time_dim if cfg.time_dim is not None else down_dims[0] * 4
+
+        if cfg_dual:
+            assert condition is not None, "cfg_dual requires a condition"
+            assert condition.shape[0] == 2 * x.shape[0], (
+                "cfg_dual: condition batch must be 2x the x batch "
+                f"({condition.shape[0]} vs {x.shape[0]})")
 
         # Condition embedding (reference: diffusion_components.py:155-168).
         if condition is not None:
@@ -190,6 +210,14 @@ class ConditionedUnet(nn.Module):
         down_in_out = list(zip(down_dims[:-1], down_dims[1:]))
         for i, (_, dim_out) in enumerate(down_in_out):
             x = block(x, dim_out, f"downs_{i}_0")
+            if i == 0 and cfg_dual:
+                # End of the condition-independent prefix: widen to the
+                # CFG-doubled batch. Rebinding time_emb here is seen by
+                # the block() closure for every later call.
+                x = jnp.concatenate([x, x], axis=0)
+                h = [jnp.concatenate([e, e], axis=0) for e in h]
+                if time_emb is not None:
+                    time_emb = jnp.concatenate([time_emb, time_emb], axis=0)
             x = attn(x, f"downs_{i}_1")
             h.append(x)
             x = block(x, dim_out, f"downs_{i}_2")
@@ -198,6 +226,13 @@ class ConditionedUnet(nn.Module):
             x = conv2d(dim_out, 4, stride=2, padding=1, dtype=self.dtype,
                        name=f"downs_{i}_4")(x)
             h.append(x)
+
+        if cfg_dual and not down_in_out:
+            # Degenerate single-level config: no conditioned op ran yet.
+            x = jnp.concatenate([x, x], axis=0)
+            h = [jnp.concatenate([e, e], axis=0) for e in h]
+            if time_emb is not None:
+                time_emb = jnp.concatenate([time_emb, time_emb], axis=0)
 
         # Bottleneck (reference: diffusion.py:131-146, 226-238).
         mid_dim = down_dims[-1]

@@ -83,12 +83,16 @@ class DiffuSynthRuntime:
             prefer_clap=self.config.use_pretrained_clap
         )
 
-        def unet_apply(params, x, t, cond):
+        def unet_apply(params, x, t, cond, cfg_dual=False):
             # params MUST be threaded as an argument (never closed over):
             # captured weights become literal constants in the lowered HLO,
             # bloating the program by ~100 MB and breaking remote compile.
-            return self.unet.apply(params, x, t, cond)
+            return self.unet.apply(params, x, t, cond, cfg_dual=cfg_dual)
 
+        # Advertise CFG prefix sharing (nn/unet.py cfg_dual): the sampler
+        # then runs the condition-independent U-Net prefix once per step
+        # instead of twice (RESULTS_r2.md H13).
+        unet_apply.supports_cfg_dual = True
         self.unet_apply = unet_apply
 
     @classmethod

@@ -232,6 +232,47 @@ class TestSamplerSmoke:
         )
         assert not np.allclose(np.asarray(base), np.asarray(guided))
 
+    def test_cfg_prefix_share_equivalence(self, monkeypatch):
+        """An apply advertising supports_cfg_dual gets (x at B, cond at 2B)
+        and must produce the same guided sample as the plain CFG
+        batch-double; DIFFUSYNTH_CFG_PREFIX_SHARE=0 opts out."""
+
+        calls = {"dual": 0}
+
+        def dual_apply(params, x, t, condition, cfg_dual=False):
+            if cfg_dual:
+                calls["dual"] += 1
+                assert condition.shape[0] == 2 * x.shape[0]
+                x = jnp.concatenate([x, x], axis=0)
+                t = jnp.concatenate([t, t], axis=0)
+            return _dummy_apply(params, x, t, condition)
+
+        dual_apply.supports_cfg_dual = True
+
+        def make(apply_fn):
+            s = DiffSynthSampler(apply_fn, timesteps=100, height=H,
+                                 channels=C, train_width=TRAIN_W,
+                                 max_width=64)
+            s.respace(list(respaced_timesteps(100, 5)))
+            s.activate_classifier_free_guidance(3.0, jnp.zeros(8))
+            return s
+
+        shape = (2, H, TRAIN_W, C)
+        cond = jnp.ones((2, 8))
+        key = jax.random.key(3)
+        base, _ = make(_dummy_apply).sample(None, shape, key, condition=cond)
+        dual, _ = make(dual_apply).sample(None, shape, key, condition=cond)
+        assert calls["dual"] > 0, "cfg_dual path did not engage"
+        np.testing.assert_allclose(np.asarray(dual), np.asarray(base),
+                                   atol=1e-6)
+
+        monkeypatch.setenv("DIFFUSYNTH_CFG_PREFIX_SHARE", "0")
+        calls["dual"] = 0
+        off, _ = make(dual_apply).sample(None, shape, key, condition=cond)
+        assert calls["dual"] == 0, "opt-out env var ignored"
+        np.testing.assert_allclose(np.asarray(off), np.asarray(base),
+                                   atol=1e-6)
+
     def test_ddpm_vs_ddim(self):
         s = _make_sampler(steps=5)
         shape = (1, H, TRAIN_W, C)

@@ -145,6 +145,23 @@ class TestUNet:
         o2 = model.apply(variables, x, t, c2)
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
+    def test_cfg_dual_matches_naive_double(self):
+        """cfg_dual (CFG prefix sharing) must equal the plain batch-double:
+        apply(x, t, [uncond; cond], cfg_dual=True) ==
+        apply(cat([x, x]), cat([t, t]), [uncond; cond])."""
+        model = ConditionedUnet(SMALL_UNET)
+        x = jax.random.normal(KEY, (2, 32, 16, 4))
+        t = jnp.array([5, 100])
+        cond = jax.random.normal(
+            jax.random.PRNGKey(7), (4, SMALL_UNET.label_emb_dim))
+        variables = model.init(KEY, x, t, cond[:2])
+        naive = model.apply(variables, jnp.concatenate([x, x]),
+                            jnp.concatenate([t, t]), cond)
+        dual = model.apply(variables, x, t, cond, cfg_dual=True)
+        assert dual.shape == (4, 32, 16, 4)
+        np.testing.assert_allclose(np.asarray(dual), np.asarray(naive),
+                                   atol=1e-6)
+
     def test_linear_cat_attention_variant(self):
         cfg = SMALL_UNET.replace(attn_type="linear_cat")
         model = ConditionedUnet(cfg)
