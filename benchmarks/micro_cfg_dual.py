@@ -29,6 +29,11 @@ def main():
     B = int(os.environ.get("MICRO_CFG_BATCH", "64"))  # user batch
     H, W = 128, 64
     cfg = UNetConfig()
+    quant = os.environ.get("MICRO_CFG_QUANT")  # e.g. int8
+    if quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, quantize=quant)
+        print("quantize:", quant, flush=True)
     model = ConditionedUnet(cfg, dtype=jnp.bfloat16)
     print("devices:", jax.devices(), "user batch:", B, flush=True)
 
