@@ -144,14 +144,38 @@ class DiffSynthSampler:
     def num_timesteps(self) -> int:
         return self.schedule.num_timesteps
 
-    def activate_classifier_free_guidance(self, CFG: float,
+    def activate_classifier_free_guidance(self, CFG,
                                           unconditional_condition):
-        """(reference: DiffSynthSampler.py:192-202)"""
-        assert unconditional_condition is not None or CFG == 1.0, (
+        """(reference: DiffSynthSampler.py:192-202)
+
+        CFG may be a python scalar (one guidance scale for the whole
+        batch) or a (B,)-shaped array of per-sample scales;
+        unconditional_condition may be a (D,) vector or a (B, D) batch of
+        per-sample negative-prompt embeddings. Both enter the compiled
+        loop as TRACED inputs, so changing the scale or the negative
+        prompt never recompiles — and serving can coalesce requests with
+        different cfg / negative prompts into one batched launch.
+        """
+        arr = np.asarray(CFG)
+        if arr.ndim == 0:
+            self.CFG = float(arr)
+            scalar_off = self.CFG == 1.0
+        else:
+            assert arr.ndim == 1, f"CFG must be scalar or (B,), got {arr.shape}"
+            self.CFG = jnp.asarray(arr, jnp.float32)
+            scalar_off = False
+        assert unconditional_condition is not None or scalar_off, (
             "For CFG != 1.0, unconditional_condition must be available"
         )
-        self.CFG = float(CFG)
         self.unconditional_condition = unconditional_condition
+
+    @property
+    def cfg_on(self) -> bool:
+        """Whether classifier-free guidance is active (scalar 1.0 = off;
+        any per-sample array = on, entries of exactly 1.0 reduce to the
+        conditioned prediction)."""
+        c = self.CFG
+        return not (np.ndim(c) == 0 and float(c) == 1.0)
 
     # -- noise --------------------------------------------------------------
 
@@ -182,8 +206,11 @@ class DiffSynthSampler:
                     and getattr(self.unet_apply, "supports_cfg_dual", False)
                     and os.environ.get("DIFFUSYNTH_CFG_PREFIX_SHARE",
                                        "1") != "0")
+        # The guidance scale is NOT part of the signature: it enters the
+        # compiled program as a traced (B,) input (per-sample CFG), so a
+        # changed scale or negative prompt reuses the cached program.
         sig = (batch, width, n_steps_exec, start_idx, eta, cfg_on, inpaint,
-               mask_mode, return_traj, solver, self.CFG, self.num_timesteps,
+               mask_mode, return_traj, solver, self.num_timesteps,
                cfg_dual)
         if sig in self._loop_cache:
             return self._loop_cache[sig]
@@ -238,7 +265,6 @@ class DiffSynthSampler:
             dp_sigma_ratio = jnp.asarray(sp_np / s_np, jnp.float32)
             dp_coef_D = jnp.asarray(ap_np * (1.0 - exp_neg_h), jnp.float32)
             dp_inv2r = jnp.asarray(inv2r_np, jnp.float32)
-        cfg_scale = self.CFG
         unet_apply = self.unet_apply
         height, channels = self.height, self.channels
         train_width = self.train_width
@@ -248,7 +274,7 @@ class DiffSynthSampler:
             ridx = jnp.asarray(ridx)
 
         def loop(params, init_img, cond, uncond, guide, init_noise,
-                 mask_profiles, static_mask, key):
+                 mask_profiles, static_mask, key, cfg_scale):
             """One fully-fused sampling run."""
 
             def model_eval(img, mapped_t_b, _cond, _uncond):
@@ -263,7 +289,8 @@ class DiffSynthSampler:
                             [mapped_t_b, mapped_t_b], axis=0)
                         eps = unet_apply(params, x_in, t_in, c_in)
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                    return eps_u + cfg_scale * (eps_c - eps_u)
+                    s = cfg_scale.reshape(-1, 1, 1, 1)
+                    return eps_u + s * (eps_c - eps_u)
                 return unet_apply(params, img, mapped_t_b, _cond)
 
             def body(carry, xs):
@@ -355,7 +382,7 @@ class DiffSynthSampler:
             # step, host-driven loop; async dispatch matches the scan's
             # steady state (measured 12.41 vs 12.47 s p50 b64).
             def _body_impl(params, img, x0_prev, i, mask_w, step_key, cond,
-                           uncond, guide, init_noise, static_mask):
+                           uncond, guide, init_noise, static_mask, cfg_scale):
 
                 def model_eval(img, mapped_t_b):
                     if cfg_on:
@@ -369,7 +396,8 @@ class DiffSynthSampler:
                                 [mapped_t_b, mapped_t_b], axis=0)
                             eps = unet_apply(params, x_in, t_in, c_in)
                         eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                        return eps_u + cfg_scale * (eps_c - eps_u)
+                        s = cfg_scale.reshape(-1, 1, 1, 1)
+                        return eps_u + s * (eps_c - eps_u)
                     return unet_apply(params, img, mapped_t_b, cond)
 
                 t_b = jnp.full((batch,), i, dtype=jnp.int32)
@@ -430,13 +458,14 @@ class DiffSynthSampler:
 
             if W > 1:
                 def _window_impl(params, img, x0_prev, i_w, masks_w, keys_w,
-                                 cond, uncond, guide, init_noise, static_mask):
+                                 cond, uncond, guide, init_noise, static_mask,
+                                 cfg_scale):
                     def body(carry, xs):
                         i, m, k = xs
                         img, x0p = carry
                         out = _body_impl(params, img, x0p, i, m, k, cond,
                                          uncond, guide, init_noise,
-                                         static_mask)
+                                         static_mask, cfg_scale)
                         img, x0p = out if dpmpp else (out, x0p)
                         return (img, x0p), (img if return_traj else None)
                     (img, x0_prev), traj = jax.lax.scan(
@@ -446,7 +475,7 @@ class DiffSynthSampler:
                 jitted_window = aot_jit(_window_impl, name="sampler_window")
 
             def python_loop(params, init_img, cond, uncond, guide, init_noise,
-                            mask_profiles, static_mask, key):
+                            mask_profiles, static_mask, key, cfg_scale):
                 i_vals = np.arange(start_idx - 1,
                                    start_idx - 1 - n_steps_exec, -1)
                 step_keys = jax.random.split(key, n_steps_exec)
@@ -462,7 +491,8 @@ class DiffSynthSampler:
                         img, x0p, tw = jitted_window(
                             params, img, x0p, i_dev[w0:w0 + W],
                             mask_profiles[w0:w0 + W], step_keys[w0:w0 + W],
-                            cond, uncond, guide, init_noise, static_mask)
+                            cond, uncond, guide, init_noise, static_mask,
+                            cfg_scale)
                         if return_traj:
                             traj.append(tw)
                     return img, (jnp.concatenate(traj)
@@ -470,7 +500,8 @@ class DiffSynthSampler:
                 for j, i in enumerate(i_vals):
                     out = jitted_step(params, img, x0p, jnp.int32(i),
                                       mask_profiles[j], step_keys[j], cond,
-                                      uncond, guide, init_noise, static_mask)
+                                      uncond, guide, init_noise, static_mask,
+                                      cfg_scale)
                     img, x0p = out if dpmpp else (out, x0p)
                     if return_traj:
                         traj.append(img)
@@ -560,16 +591,11 @@ class DiffSynthSampler:
                 mask_mode = "static"
 
         loop = self._get_loop(
-            B, W, n_steps, start_idx, eta, self.CFG != 1.0, inpaint,
+            B, W, n_steps, start_idx, eta, self.cfg_on, inpaint,
             mask_mode, return_trajectory, solver,
         )
 
-        uncond = None
-        if self.CFG != 1.0:
-            uncond = jnp.broadcast_to(
-                jnp.asarray(self.unconditional_condition).reshape(1, -1),
-                (B, jnp.asarray(self.unconditional_condition).size),
-            )
+        uncond, cfg_arr = self._cfg_batch(B)
         guide_arg = guide_img if guide_img is not None else jnp.zeros(shape)
         smask_arg = (
             static_mask if static_mask is not None
@@ -591,13 +617,40 @@ class DiffSynthSampler:
                 condition = jax.device_put(condition, cond_sharding)
             if uncond is not None:
                 uncond = jax.device_put(uncond, cond_sharding)
+                scale_sharding = jax.sharding.NamedSharding(
+                    self.batch_sharding.mesh,
+                    jax.sharding.PartitionSpec(self.batch_sharding.spec[0]),
+                )
+                cfg_arr = jax.device_put(cfg_arr, scale_sharding)
         final, traj = loop(
             params, img0, condition, uncond, guide_arg, init_noise,
-            mask_profiles, smask_arg, key_steps,
+            mask_profiles, smask_arg, key_steps, cfg_arr,
         )
         if return_trajectory:
             return traj, init_noise
         return final, init_noise
+
+    def _cfg_batch(self, batch: int):
+        """(uncond, cfg_scale) batch-shaped for the loop: uncond (B, D) and
+        cfg_scale (B,) f32 — scalar scale / (D,) embedding broadcast, or
+        per-sample (B,) / (B, D) values passed through (the serving layer
+        coalesces mixed cfg / negative-prompt requests this way)."""
+        if not self.cfg_on:
+            return None, jnp.ones((batch,), jnp.float32)
+        u = jnp.asarray(self.unconditional_condition)
+        if u.ndim == 1:
+            u = u.reshape(1, -1)
+        assert u.shape[0] in (1, batch), (
+            f"unconditional_condition batch {u.shape[0]} != sample "
+            f"batch {batch}"
+        )
+        uncond = jnp.broadcast_to(u, (batch, u.shape[-1]))
+        c = jnp.asarray(self.CFG, jnp.float32).reshape(-1)
+        assert c.shape[0] in (1, batch), (
+            f"CFG batch {c.shape[0]} != sample batch {batch}"
+        )
+        cfg_arr = jnp.broadcast_to(c, (batch,))
+        return uncond, cfg_arr
 
     def _expand_guide(self, guide: jnp.ndarray, batch: int, width: int):
         """Tile a train-width guide latent to the target width with the
@@ -677,17 +730,13 @@ class DiffSynthSampler:
         B, H, W, C = shape
         eta, solver = _SAMPLERS[sampler]
         n_steps = self.num_timesteps
-        loop = self._get_loop(B, W, n_steps, n_steps, eta, self.CFG != 1.0,
+        loop = self._get_loop(B, W, n_steps, n_steps, eta, self.cfg_on,
                               False, "none", return_trajectory, solver)
-        uncond = None
-        if self.CFG != 1.0:
-            uncond = jnp.broadcast_to(
-                jnp.asarray(self.unconditional_condition).reshape(1, -1),
-                (B, jnp.asarray(self.unconditional_condition).size),
-            )
+        uncond, cfg_arr = self._cfg_batch(B)
         final, traj = loop(params, noise, condition, uncond,
                            jnp.zeros(shape), noise, None,
-                           jnp.zeros((1, 1, 1, 1), jnp.float32), key)
+                           jnp.zeros((1, 1, 1, 1), jnp.float32), key,
+                           cfg_arr)
         if return_trajectory:
             return traj, noise
         return final, noise

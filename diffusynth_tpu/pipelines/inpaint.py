@@ -92,15 +92,19 @@ class InpaintPipeline:
         self._samplers = {}
 
     def _sampler_for(self, normalized_steps: int, cfg: float, uncond):
-        key = (normalized_steps, cfg)
+        """One program per (steps, cfg-on/off): the guidance scale and
+        negative-prompt embedding are traced inputs (diffusion/sampler.py),
+        so changing either never recompiles."""
+        key = (normalized_steps, cfg != 1.0)
         if key not in self._samplers:
             s = self.runtime.make_sampler()
             s.respace(list(respaced_timesteps(
                 self.runtime.config.diffusion.timesteps, normalized_steps)))
-            if cfg != 1.0:
-                s.activate_classifier_free_guidance(cfg, uncond)
             self._samplers[key] = s
-        return self._samplers[key]
+        s = self._samplers[key]
+        if cfg != 1.0:
+            s.activate_classifier_free_guidance(cfg, uncond)
+        return s
 
     def __call__(
         self,

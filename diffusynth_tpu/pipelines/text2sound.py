@@ -34,15 +34,20 @@ class Text2SoundPipeline:
         self._samplers = {}
 
     def _sampler_for(self, steps: int, cfg: float, uncond):
-        key = (steps, cfg)
+        """The guidance scale and negative-prompt embedding are traced
+        inputs of the compiled loop (diffusion/sampler.py), so one program
+        per (steps, cfg-on/off) serves every cfg value — moving the CFG
+        slider or changing the negative prompt never recompiles."""
+        key = (steps, cfg != 1.0)
         if key not in self._samplers:
             s = self.runtime.make_sampler()
             s.respace(list(respaced_timesteps(
                 self.runtime.config.diffusion.timesteps, steps)))
-            if cfg != 1.0:
-                s.activate_classifier_free_guidance(cfg, uncond)
             self._samplers[key] = s
-        return self._samplers[key]
+        s = self._samplers[key]
+        if cfg != 1.0:
+            s.activate_classifier_free_guidance(cfg, uncond)
+        return s
 
     def __call__(
         self,

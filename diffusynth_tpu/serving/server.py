@@ -15,9 +15,12 @@ Endpoints (JSON in, JSON out; audio as base64 WAV):
                                    "max_notes": 100}
 
 text2sound requests are coalesced by the micro-batcher: same
-(width-bucket, steps, cfg, negative prompt, sampler) requests within the
-batching window run as ONE batched device launch, each with its own
-deterministic per-seed noise.
+(width-bucket, steps, cfg-on/off, sampler) requests within the batching
+window run as ONE batched device launch, each with its own deterministic
+per-seed noise. Different prompts, negative prompts, AND cfg scales all
+batch together — conditions are per-sample rows and the guidance scale
+is a traced (B,) input of the compiled loop (diffusion/sampler.py), so
+mixed-request batches share one program with no recompile.
 
 Run: python -m diffusynth_tpu.serving.server --port 8600
 """
@@ -76,6 +79,7 @@ class DiffuSynthServer:
         self.track = TrackRenderPipeline(self.runtime)
         self._samplers: Dict[Tuple, Any] = {}
         self._lock = threading.Lock()
+        self._gen_lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_text2sound_batch,
                                     max_batch=max_batch, window_ms=window_ms)
         self.metrics = Metrics()
@@ -84,16 +88,16 @@ class DiffuSynthServer:
 
     # -- text2sound batching --------------------------------------------------
 
-    def _sampler_for(self, steps: int, cfg: float, negative_prompt: str):
-        key = (steps, cfg, negative_prompt)
+    def _sampler_for(self, steps: int, cfg_on: bool):
+        """One sampler per (steps, cfg-on/off); guidance scales and
+        negative-prompt embeddings are per-batch traced inputs, activated
+        in _run_text2sound_batch under _gen_lock."""
+        key = (steps, cfg_on)
         with self._lock:
             if key not in self._samplers:
                 s = self.runtime.make_sampler()
                 s.respace(list(respaced_timesteps(
                     self.runtime.config.diffusion.timesteps, steps)))
-                if cfg != 1.0:
-                    uncond = self.runtime.encode_text([negative_prompt])[0]
-                    s.activate_classifier_free_guidance(cfg, uncond)
                 self._samplers[key] = s
             return self._samplers[key]
 
@@ -108,7 +112,7 @@ class DiffuSynthServer:
         return n
 
     def _run_text2sound_batch(self, signature: Tuple, payloads: List[Dict]):
-        width, steps, cfg, negative_prompt, sampler_name = signature
+        width, steps, cfg_on, sampler_name = signature
         rt = self.runtime
         a = rt.config.audio
         n = len(payloads)
@@ -125,11 +129,21 @@ class DiffuSynthServer:
         ]
         template = jnp.concatenate(templates, axis=0)
 
-        s = self._sampler_for(steps, cfg, negative_prompt)
+        s = self._sampler_for(steps, cfg_on)
         shape = (B, d.height, width, d.channels)
-        latents, _ = s.sample(rt.unet_variables, shape, jax.random.key(0),
-                              condition=cond, sampler=sampler_name,
-                              initial_noise=template)
+        # activate + sample must be atomic: the batcher thread and direct
+        # warmup calls share the sampler object.
+        with self._gen_lock:
+            if cfg_on:
+                uncond = jnp.asarray(rt.encode_text(
+                    [str(p.get("negative_prompt", "")) for p in padded]))
+                scales = jnp.asarray(
+                    [float(p.get("cfg", 6.0)) for p in padded], jnp.float32)
+                s.activate_classifier_free_guidance(scales, uncond)
+            latents, _ = s.sample(rt.unet_variables, shape,
+                                  jax.random.key(0), condition=cond,
+                                  sampler=sampler_name,
+                                  initial_noise=template)
         # int16 on device: same PCM16 bytes the WAV writer would produce,
         # at half the device->host transfer.
         _, _, audio = rt.decode_latents_full(latents, quantize=True,
@@ -148,11 +162,13 @@ class DiffuSynthServer:
         a = self.runtime.config.audio
         width = bucket_width(
             a.width_from_duration(float(body.get("duration_sec", 3.0))))
+        # cfg value and negative prompt are per-sample traced inputs —
+        # only cfg on/off changes the program, so mixed-prompt/mixed-cfg
+        # traffic coalesces into one batch.
         signature = (
             width,
             int(body.get("steps", 20)),
-            float(body.get("cfg", 6.0)),
-            str(body.get("negative_prompt", "")),
+            float(body.get("cfg", 6.0)) != 1.0,
             str(body.get("sampler", "ddim")),
         )
         return self.batcher.submit(signature, body,
@@ -219,8 +235,9 @@ class DiffuSynthServer:
         for w in widths:
             for b in batch_sizes:
                 self._run_text2sound_batch(
-                    (int(w), steps, cfg, "", "ddim"),
-                    [{"prompt": "warmup", "seed": i} for i in range(b)],
+                    (int(w), steps, cfg != 1.0, "ddim"),
+                    [{"prompt": "warmup", "seed": i, "cfg": cfg}
+                     for i in range(b)],
                 )
                 compiled.append({"width": int(w), "batch": b})
         return {"compiled": compiled}

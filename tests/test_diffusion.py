@@ -273,6 +273,60 @@ class TestSamplerSmoke:
         np.testing.assert_allclose(np.asarray(off), np.asarray(base),
                                    atol=1e-6)
 
+    def test_per_sample_cfg_matches_scalar_runs(self):
+        """A (B,) cfg array + (B, D) uncond batch must reproduce, per
+        sample, the scalar-cfg runs — the serving layer relies on this to
+        coalesce requests with different cfg / negative prompts into one
+        batched launch."""
+        cond = jnp.stack([jnp.ones(8), 2.0 * jnp.ones(8)])
+        uncond = jnp.stack([jnp.zeros(8), 0.5 * jnp.ones(8)])
+        tmpl = jax.random.normal(jax.random.key(7), (2, H, TRAIN_W, C))
+        s = _make_sampler(steps=5)
+        s.activate_classifier_free_guidance(jnp.asarray([2.0, 5.0]), uncond)
+        batched, _ = s.sample(None, (2, H, TRAIN_W, C), jax.random.key(0),
+                              condition=cond, initial_noise=tmpl)
+        singles = []
+        for i, scale in enumerate((2.0, 5.0)):
+            si = _make_sampler(steps=5)
+            si.activate_classifier_free_guidance(scale, uncond[i])
+            out, _ = si.sample(None, (1, H, TRAIN_W, C), jax.random.key(0),
+                               condition=cond[i:i + 1],
+                               initial_noise=tmpl[i:i + 1])
+            singles.append(out)
+        np.testing.assert_allclose(np.asarray(batched),
+                                   np.asarray(jnp.concatenate(singles)),
+                                   atol=1e-5)
+
+    def test_cfg_scale_one_entry_equals_conditioned(self):
+        """eps_u + 1.0 * (eps_c - eps_u) == eps_c: a per-sample scale of
+        exactly 1.0 reduces to the plain conditioned prediction."""
+        cond = jnp.ones((1, 8))
+        tmpl = jax.random.normal(jax.random.key(8), (1, H, TRAIN_W, C))
+        s = _make_sampler(steps=5)
+        s.activate_classifier_free_guidance(jnp.asarray([1.0]), jnp.zeros(8))
+        guided, _ = s.sample(None, (1, H, TRAIN_W, C), jax.random.key(0),
+                             condition=cond, initial_noise=tmpl)
+        plain, _ = _make_sampler(steps=5).sample(
+            None, (1, H, TRAIN_W, C), jax.random.key(0), condition=cond,
+            initial_noise=tmpl)
+        np.testing.assert_allclose(np.asarray(guided), np.asarray(plain),
+                                   atol=1e-5)
+
+    def test_cfg_change_reuses_compiled_loop(self):
+        """The guidance scale is a traced input, not part of the program
+        signature: changing the cfg slider must NOT recompile (multi-minute
+        through the remote compiler)."""
+        s = _make_sampler(steps=5)
+        s.activate_classifier_free_guidance(3.0, jnp.zeros(8))
+        shape = (1, H, TRAIN_W, C)
+        cond = jnp.ones((1, 8))
+        a, _ = s.sample(None, shape, jax.random.key(1), condition=cond)
+        assert len(s._loop_cache) == 1
+        s.activate_classifier_free_guidance(7.0, jnp.zeros(8))
+        b, _ = s.sample(None, shape, jax.random.key(1), condition=cond)
+        assert len(s._loop_cache) == 1, "cfg change must reuse the program"
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
     def test_ddpm_vs_ddim(self):
         s = _make_sampler(steps=5)
         shape = (1, H, TRAIN_W, C)

@@ -196,6 +196,74 @@ class TestHTTPServer:
         # At least one response should report a merged batch.
         assert max(b["batch_size_executed"] for _, b in results) >= 2
 
+    def test_mixed_cfg_and_negative_prompts_coalesce(self, server):
+        """Requests differing ONLY in cfg scale and negative prompt must
+        share one batched launch (per-sample traced guidance), and each
+        must get its own guidance: different cfg at the same seed/prompt
+        produces different audio."""
+        reqs = [
+            {"prompt": "a tiny organ", "duration_sec": 1.0, "steps": 3,
+             "cfg": 2.0, "negative_prompt": "noise", "seed": 11},
+            {"prompt": "a warm string", "duration_sec": 1.0, "steps": 3,
+             "cfg": 6.0, "negative_prompt": "", "seed": 11},
+            {"prompt": "a tiny organ", "duration_sec": 1.0, "steps": 3,
+             "cfg": 9.0, "negative_prompt": "noise", "seed": 11},
+        ]
+        results = [None] * len(reqs)
+
+        def call(i):
+            results[i] = _post(server, "/v1/text2sound", reqs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, _ in results:
+            assert status == 200
+        # Coalesced despite mixed cfg/negative prompts.
+        assert max(b["batch_size_executed"] for _, b in results) >= 2
+        # Per-sample guidance really applied: same prompt/seed, different
+        # cfg -> different audio.
+        a = base64.b64decode(results[0][1]["audio_b64"])
+        c = base64.b64decode(results[2][1]["audio_b64"])
+        assert a != c
+
+    def test_mixed_cfg_matches_solo_run(self, server):
+        """A request's audio must be identical whether it ran alone or
+        coalesced into a mixed-cfg batch (guidance rows don't leak across
+        samples)."""
+        req = {"prompt": "a tiny organ", "duration_sec": 1.0, "steps": 3,
+               "cfg": 2.0, "negative_prompt": "noise", "seed": 11}
+        status, solo = _post(server, "/v1/text2sound", req)
+        assert status == 200
+        results = [None, None]
+        other = {"prompt": "a warm string", "duration_sec": 1.0, "steps": 3,
+                 "cfg": 7.5, "negative_prompt": "hum", "seed": 3}
+
+        def call(i, body):
+            results[i] = _post(server, "/v1/text2sound", body)
+
+        threads = [threading.Thread(target=call, args=(0, req)),
+                   threading.Thread(target=call, args=(1, other))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results[0][0] == 200 and results[1][0] == 200
+        from scipy.io import wavfile
+
+        def decode(b):
+            return wavfile.read(
+                io.BytesIO(base64.b64decode(b["audio_b64"])))[1].astype(
+                np.float32) / 32767.0
+
+        got, ref = decode(results[0][1]), decode(solo)
+        # Tight tolerance, not bitwise: the B=1 and B=2 programs may
+        # differ in f32 reduction order.
+        assert np.abs(got - ref).max() < 1e-3
+
     def test_track_endpoint(self, server, tmp_path):
         from diffusynth_tpu.midi.parser import write_midi
 
