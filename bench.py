@@ -113,8 +113,12 @@ def main():
     run(0)
     compile_s = time.time() - t0
 
+    # 5 timed runs: the axon tunnel's wall-clock noise band is ~±0.5 s on
+    # a 10 s run (RESULTS_r2.md), so a 3-sample median can land a bad
+    # draw; 5 samples tighten the p50 for ~20 s extra.
+    n_runs = int(os.environ.get("DIFFUSYNTH_BENCH_RUNS", "5"))
     times = []
-    for i in range(1, 4):
+    for i in range(1, 1 + n_runs):
         t0 = time.time()
         run(i)
         times.append(time.time() - t0)
