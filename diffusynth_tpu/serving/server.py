@@ -14,12 +14,13 @@ Endpoints (JSON in, JSON out; audio as base64 WAV):
                                    "preset_organ", "sample_steps": 10,
                                    "max_notes": 100}
 
-text2sound requests are coalesced by the micro-batcher: same
-(width-bucket, steps, cfg-on/off, sampler) requests within the batching
-window run as ONE batched device launch, each with its own deterministic
-per-seed noise. Different prompts, negative prompts, AND cfg scales all
-batch together — conditions are per-sample rows and the guidance scale
-is a traced (B,) input of the compiled loop (diffusion/sampler.py), so
+text2sound and sound2sound requests are coalesced by the micro-batcher:
+same (task, width, steps, cfg-on/off, sampler [+ noising_strength for
+sound2sound]) requests within the batching window run as ONE batched
+device launch, each with its own deterministic per-seed noise. Different
+prompts, negative prompts, AND cfg scales all batch together — conditions
+(and img2img guide latents) are per-sample rows and the guidance scale is
+a traced (B,) input of the compiled loop (diffusion/sampler.py), so
 mixed-request batches share one program with no recompile.
 
 Run: python -m diffusynth_tpu.serving.server --port 8600
@@ -73,14 +74,22 @@ def _wav_b64(audio: np.ndarray, sample_rate: int) -> str:
 
 class DiffuSynthServer:
     def __init__(self, runtime: Optional[DiffuSynthRuntime] = None,
-                 max_batch: int = 16, window_ms: float = 30.0):
+                 max_batch: int = 16, window_ms: float = 30.0,
+                 request_timeout_s: float = 900.0):
+        # request_timeout_s matches the batcher's stuck threshold by
+        # default: a COLD first request legitimately sits behind a
+        # multi-minute remote compile (240-460 s measured through the
+        # axon tunnel, benchmarks/RESULTS_r2.md), so a 300 s cap would
+        # 504 requests the device is actively serving. Deployments with
+        # warmup manifests can lower both.
+        self.request_timeout_s = request_timeout_s
         self.runtime = runtime or DiffuSynthRuntime(AppConfig())
         self.s2s = Sound2SoundPipeline(self.runtime)
         self.track = TrackRenderPipeline(self.runtime)
         self._samplers: Dict[Tuple, Any] = {}
         self._lock = threading.Lock()
         self._gen_lock = threading.Lock()
-        self.batcher = MicroBatcher(self._run_text2sound_batch,
+        self.batcher = MicroBatcher(self._run_batch,
                                     max_batch=max_batch, window_ms=window_ms)
         self.metrics = Metrics()
         self.batcher.metrics = self.metrics
@@ -111,6 +120,34 @@ class DiffuSynthServer:
                 return b
         return n
 
+    def _run_batch(self, signature: Tuple, payloads: List[Dict]):
+        """Batcher callback: signatures are namespaced by task family so
+        one batcher (and one device queue) serves both generation kinds."""
+        if signature[0] == "s2s":
+            return self._run_sound2sound_batch(signature[1:], payloads)
+        return self._run_text2sound_batch(signature[1:], payloads)
+
+    def _seed_templates(self, payloads: List[Dict]):
+        """Per-request deterministic noise templates from per-request
+        seeds (one train-width template row per request; the sampler's
+        repeat strategy widens them)."""
+        d = self.runtime.config.diffusion
+        templates = [
+            jax.random.normal(jax.random.key(int(p.get("seed", 0))),
+                              (1, d.height, d.train_width, d.channels))
+            for p in payloads
+        ]
+        return jnp.concatenate(templates, axis=0)
+
+    def _activate_cfg(self, s, payloads: List[Dict]):
+        """Per-sample guidance: (B,) cfg scales + (B, D) negative-prompt
+        embeddings (both traced — no recompile across values)."""
+        uncond = jnp.asarray(self.runtime.encode_text(
+            [str(p.get("negative_prompt", "")) for p in payloads]))
+        scales = jnp.asarray(
+            [float(p.get("cfg", 6.0)) for p in payloads], jnp.float32)
+        s.activate_classifier_free_guidance(scales, uncond)
+
     def _run_text2sound_batch(self, signature: Tuple, payloads: List[Dict]):
         width, steps, cfg_on, sampler_name = signature
         rt = self.runtime
@@ -121,13 +158,7 @@ class DiffuSynthServer:
         d = rt.config.diffusion
 
         cond = jnp.asarray(rt.encode_text([p["prompt"] for p in padded]))
-        # Per-request deterministic noise templates from per-request seeds.
-        templates = [
-            jax.random.normal(jax.random.key(int(p.get("seed", 0))),
-                              (1, d.height, d.train_width, d.channels))
-            for p in padded
-        ]
-        template = jnp.concatenate(templates, axis=0)
+        template = self._seed_templates(padded)
 
         s = self._sampler_for(steps, cfg_on)
         shape = (B, d.height, width, d.channels)
@@ -135,17 +166,51 @@ class DiffuSynthServer:
         # warmup calls share the sampler object.
         with self._gen_lock:
             if cfg_on:
-                uncond = jnp.asarray(rt.encode_text(
-                    [str(p.get("negative_prompt", "")) for p in padded]))
-                scales = jnp.asarray(
-                    [float(p.get("cfg", 6.0)) for p in padded], jnp.float32)
-                s.activate_classifier_free_guidance(scales, uncond)
+                self._activate_cfg(s, padded)
             latents, _ = s.sample(rt.unet_variables, shape,
                                   jax.random.key(0), condition=cond,
                                   sampler=sampler_name,
                                   initial_noise=template)
         # int16 on device: same PCM16 bytes the WAV writer would produce,
         # at half the device->host transfer.
+        _, _, audio = rt.decode_latents_full(latents, quantize=True,
+                                             audio_format="int16")
+        audio = np.asarray(audio)
+        return [
+            {"audio_b64": _wav_b64(audio[i], a.sample_rate),
+             "sample_rate": a.sample_rate,
+             "batch_size_executed": B}
+            for i in range(n)
+        ]
+
+    def _run_sound2sound_batch(self, signature: Tuple, payloads: List[Dict]):
+        """Merged img2img launch: per-sample guide latents, prompts,
+        negative prompts, cfg scales, and seed noise in one program.
+        noising_strength must match within a batch (it sets the static
+        start index of the denoising chain)."""
+        width, steps, strength, cfg_on, sampler_name = signature
+        rt = self.runtime
+        a = rt.config.audio
+        n = len(payloads)
+        B = self._pad_batch(n)
+        padded = list(payloads) + [payloads[-1]] * (B - n)
+        d = rt.config.diffusion
+
+        cond = jnp.asarray(rt.encode_text([p["prompt"] for p in padded]))
+        template = self._seed_templates(padded)
+        guide = jnp.concatenate([p["zq"] for p in padded], axis=0)
+
+        # Steps normalization (reference: sound2sound_with_text.py:185).
+        normalized_steps = max(1, int(steps / strength))
+        s = self._sampler_for(normalized_steps, cfg_on)
+        shape = (B, d.height, width, d.channels)
+        with self._gen_lock:
+            if cfg_on:
+                self._activate_cfg(s, padded)
+            latents, _ = s.img_guided_sample(
+                rt.unet_variables, shape, jax.random.key(0),
+                noising_strength=strength, guide_img=guide, condition=cond,
+                sampler=sampler_name, initial_noise=template)
         _, _, audio = rt.decode_latents_full(latents, quantize=True,
                                              audio_format="int16")
         audio = np.asarray(audio)
@@ -166,12 +231,14 @@ class DiffuSynthServer:
         # only cfg on/off changes the program, so mixed-prompt/mixed-cfg
         # traffic coalesces into one batch.
         signature = (
+            "t2s",
             width,
             int(body.get("steps", 20)),
             float(body.get("cfg", 6.0)) != 1.0,
             str(body.get("sampler", "ddim")),
         )
         return self.batcher.submit(signature, body,
+                                   timeout=self.request_timeout_s,
                                    priority=int(body.get("priority", 0)))
 
     def sound2sound(self, body: Dict) -> Dict:
@@ -184,19 +251,25 @@ class DiffuSynthServer:
             wave = wave.mean(axis=1)
         if np.abs(wave).max() > 2.0:
             wave = wave / 32768.0
+        # Encode up front (one small device launch), then submit the guide
+        # latent to the batcher: concurrent s2s requests sharing (width,
+        # steps, strength, cfg-on/off, sampler) merge into one img2img
+        # launch, prompts/cfg per-sample like text2sound.
         _, _, zq = self.s2s.encode_origin_audio(
             wave, int(sr), float(body.get("duration_sec", 3.0)))
-        res = self.s2s(
-            zq, body["prompt"], body.get("negative_prompt", ""),
-            batchsize=1,
-            noising_strength=float(body.get("noising_strength", 0.7)),
-            steps=int(body.get("steps", 20)),
-            cfg=float(body.get("cfg", 6.0)),
-            seed=int(body.get("seed", 0)),
-            audio_format="int16",
+        signature = (
+            "s2s",
+            int(zq.shape[2]),
+            int(body.get("steps", 20)),
+            float(body.get("noising_strength", 0.7)),
+            float(body.get("cfg", 6.0)) != 1.0,
+            str(body.get("sampler", "ddim")),
         )
-        return {"audio_b64": _wav_b64(res.audio[0], res.sample_rate),
-                "sample_rate": res.sample_rate}
+        payload = dict(body)
+        payload["zq"] = zq
+        return self.batcher.submit(signature, payload,
+                                   timeout=self.request_timeout_s,
+                                   priority=int(body.get("priority", 0)))
 
     def render_track(self, body: Dict) -> Dict:
         from diffusynth_tpu.midi import MidiFile
@@ -234,8 +307,8 @@ class DiffuSynthServer:
         compiled = []
         for w in widths:
             for b in batch_sizes:
-                self._run_text2sound_batch(
-                    (int(w), steps, cfg != 1.0, "ddim"),
+                self._run_batch(
+                    ("t2s", int(w), steps, cfg != 1.0, "ddim"),
                     [{"prompt": "warmup", "seed": i, "cfg": cfg}
                      for i in range(b)],
                 )
@@ -346,6 +419,10 @@ def main(argv=None):
     parser.add_argument("--warmup-manifest", default=None,
                         help="JSON manifest of programs to precompile at "
                              "startup (see warmup_from_manifest)")
+    parser.add_argument("--request-timeout", type=float, default=900.0,
+                        help="per-request wait cap in seconds (default "
+                             "matches the stuck threshold; lower it when "
+                             "a warmup manifest removes cold compiles)")
     parser.add_argument("--quantize", default=None, choices=["int8"],
                         help="W8A8 int8 U-Net convs (ops/quant.py): "
                              "~9%% faster steps; fidelity numbers in "
@@ -363,7 +440,8 @@ def main(argv=None):
         runtime = DiffuSynthRuntime(app)
     server = make_server(args.host, args.port, runtime=runtime,
                          max_batch=args.max_batch,
-                         window_ms=args.window_ms)
+                         window_ms=args.window_ms,
+                         request_timeout_s=args.request_timeout)
     if args.warmup_manifest:
         server.app.warmup_from_manifest(args.warmup_manifest)
     print(f"DiffuSynth-TPU serving on http://{args.host}:{args.port}",

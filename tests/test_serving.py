@@ -264,6 +264,49 @@ class TestHTTPServer:
         # differ in f32 reduction order.
         assert np.abs(got - ref).max() < 1e-3
 
+    def test_sound2sound_coalesces(self, server):
+        """Concurrent sound2sound requests sharing (width, steps,
+        strength) merge into one img2img launch despite different
+        prompts/cfg, and each gets valid audio."""
+        from scipy.io import wavfile
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        wave = np.round(np.sin(2 * np.pi * 220 * t) * 20000).astype(np.int16)
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, wave)
+        audio_b64 = base64.b64encode(buf.getvalue()).decode()
+        base_req = {"audio_b64": audio_b64, "duration_sec": 1.0,
+                    "steps": 3, "noising_strength": 0.7}
+        # Warm the encode + img2img programs so the concurrent pair's
+        # submits land within one batching window.
+        status, _ = _post(server, "/v1/sound2sound",
+                          dict(base_req, prompt="warm", cfg=2.0, seed=0))
+        assert status == 200
+        reqs = [
+            dict(base_req, prompt="an organ", cfg=2.0, seed=1),
+            dict(base_req, prompt="a flute", cfg=6.0,
+                 negative_prompt="hum", seed=2),
+        ]
+        results = [None, None]
+
+        def call(i):
+            results[i] = _post(server, "/v1/sound2sound", reqs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(reqs))]
+        for t_ in threads:
+            t_.start()
+        for t_ in threads:
+            t_.join()
+        for status, body in results:
+            assert status == 200
+            out = wavfile.read(
+                io.BytesIO(base64.b64decode(body["audio_b64"])))[1]
+            assert np.isfinite(out.astype(np.float64)).all()
+        assert max(b["batch_size_executed"] for _, b in results) >= 2
+        assert (results[0][1]["audio_b64"] != results[1][1]["audio_b64"])
+
     def test_track_endpoint(self, server, tmp_path):
         from diffusynth_tpu.midi.parser import write_midi
 
