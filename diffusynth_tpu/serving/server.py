@@ -10,18 +10,30 @@ Endpoints (JSON in, JSON out; audio as base64 WAV):
                                   (sampler: ddim | ddpm | dpmpp)
   POST /v1/sound2sound            {"audio_b64": ..., "sample_rate": 16000,
                                    "prompt": ..., "noising_strength": 0.7, ...}
+  POST /v1/inpaint                {"audio_b64": ..., "prompt": ...,
+                                   "mask_time_begin": 0.5, "mask_time_end": 1.5,
+                                   "mask_frequency_begin": 0,
+                                   "mask_frequency_end": 512,
+                                   "inpaint_area": "masked", ...}
+                                  (frequency bounds in spectrogram bins,
+                                   like the UI sliders; the rectangle is
+                                   repainted when inpaint_area="masked",
+                                   preserved — and everything else
+                                   repainted — when "unmasked"; reference
+                                   inpaint_with_text.py:204-233 semantics)
   POST /v1/track                  {"midi_b64": ..., "instrument":
                                    "preset_organ", "sample_steps": 10,
                                    "max_notes": 100}
 
-text2sound and sound2sound requests are coalesced by the micro-batcher:
-same (task, width, steps, cfg-on/off, sampler [+ noising_strength for
-sound2sound]) requests within the batching window run as ONE batched
-device launch, each with its own deterministic per-seed noise. Different
-prompts, negative prompts, AND cfg scales all batch together — conditions
-(and img2img guide latents) are per-sample rows and the guidance scale is
-a traced (B,) input of the compiled loop (diffusion/sampler.py), so
-mixed-request batches share one program with no recompile.
+text2sound, sound2sound, and inpaint requests are coalesced by the
+micro-batcher: same (task, width, steps, cfg-on/off, sampler
+[+ noising_strength for the guided tasks]) requests within the batching
+window run as ONE batched device launch, each with its own deterministic
+per-seed noise. Different prompts, negative prompts, cfg scales, AND
+inpaint masks all batch together — conditions, img2img guide latents,
+and masks are per-sample rows and the guidance scale is a traced (B,)
+input of the compiled loop (diffusion/sampler.py), so mixed-request
+batches share one program with no recompile.
 
 Run: python -m diffusynth_tpu.serving.server --port 8600
 """
@@ -122,9 +134,11 @@ class DiffuSynthServer:
 
     def _run_batch(self, signature: Tuple, payloads: List[Dict]):
         """Batcher callback: signatures are namespaced by task family so
-        one batcher (and one device queue) serves both generation kinds."""
+        one batcher (and one device queue) serves every generation kind."""
         if signature[0] == "s2s":
             return self._run_sound2sound_batch(signature[1:], payloads)
+        if signature[0] == "inp":
+            return self._run_inpaint_batch(signature[1:], payloads)
         return self._run_text2sound_batch(signature[1:], payloads)
 
     def _seed_templates(self, payloads: List[Dict]):
@@ -221,6 +235,46 @@ class DiffuSynthServer:
             for i in range(n)
         ]
 
+    def _run_inpaint_batch(self, signature: Tuple, payloads: List[Dict]):
+        """Merged masked-resampling launch: per-sample guide latents AND
+        per-sample (H, W, 1) keep-masks are batch rows of one program
+        (the mask is a traced input of the loop body,
+        diffusion/sampler.py inpaint blending)."""
+        width, steps, strength, cfg_on, sampler_name = signature
+        rt = self.runtime
+        a = rt.config.audio
+        n = len(payloads)
+        B = self._pad_batch(n)
+        padded = list(payloads) + [payloads[-1]] * (B - n)
+        d = rt.config.diffusion
+
+        cond = jnp.asarray(rt.encode_text([p["prompt"] for p in padded]))
+        template = self._seed_templates(padded)
+        guide = jnp.concatenate([p["zq"] for p in padded], axis=0)
+        mask = jnp.asarray(
+            np.stack([p["mask"] for p in padded])[:, :, :, None], jnp.float32)
+
+        normalized_steps = max(1, int(steps / strength))
+        s = self._sampler_for(normalized_steps, cfg_on)
+        shape = (B, d.height, width, d.channels)
+        with self._gen_lock:
+            if cfg_on:
+                self._activate_cfg(s, padded)
+            latents, _ = s.inpaint_sample(
+                rt.unet_variables, shape, jax.random.key(0),
+                noising_strength=strength, guide_img=guide, mask=mask,
+                condition=cond, sampler=sampler_name,
+                initial_noise=template)
+        _, _, audio = rt.decode_latents_full(latents, quantize=True,
+                                             audio_format="int16")
+        audio = np.asarray(audio)
+        return [
+            {"audio_b64": _wav_b64(audio[i], a.sample_rate),
+             "sample_rate": a.sample_rate,
+             "batch_size_executed": B}
+            for i in range(n)
+        ]
+
     # -- request handlers ------------------------------------------------------
 
     def text2sound(self, body: Dict) -> Dict:
@@ -241,7 +295,9 @@ class DiffuSynthServer:
                                    timeout=self.request_timeout_s,
                                    priority=int(body.get("priority", 0)))
 
-    def sound2sound(self, body: Dict) -> Dict:
+    def _encode_upload(self, body: Dict) -> jnp.ndarray:
+        """Decode the request's base64 WAV and encode it to a (1, H, W, C)
+        guide latent (one small device launch, outside the batcher)."""
         from scipy.io import wavfile
 
         raw = base64.b64decode(body["audio_b64"])
@@ -251,12 +307,16 @@ class DiffuSynthServer:
             wave = wave.mean(axis=1)
         if np.abs(wave).max() > 2.0:
             wave = wave / 32768.0
-        # Encode up front (one small device launch), then submit the guide
-        # latent to the batcher: concurrent s2s requests sharing (width,
-        # steps, strength, cfg-on/off, sampler) merge into one img2img
-        # launch, prompts/cfg per-sample like text2sound.
         _, _, zq = self.s2s.encode_origin_audio(
             wave, int(sr), float(body.get("duration_sec", 3.0)))
+        return zq
+
+    def sound2sound(self, body: Dict) -> Dict:
+        # Encode up front, then submit the guide latent to the batcher:
+        # concurrent s2s requests sharing (width, steps, strength,
+        # cfg-on/off, sampler) merge into one img2img launch, prompts/cfg
+        # per-sample like text2sound.
+        zq = self._encode_upload(body)
         signature = (
             "s2s",
             int(zq.shape[2]),
@@ -267,6 +327,40 @@ class DiffuSynthServer:
         )
         payload = dict(body)
         payload["zq"] = zq
+        return self.batcher.submit(signature, payload,
+                                   timeout=self.request_timeout_s,
+                                   priority=int(body.get("priority", 0)))
+
+    def inpaint(self, body: Dict) -> Dict:
+        from diffusynth_tpu.pipelines.inpaint import build_latent_mask
+
+        zq = self._encode_upload(body)
+        a = self.runtime.config.audio
+        # Slider-rectangle mask in UI coordinates (seconds / spectrogram
+        # frequency bins), built host-side per request; per-sample masks
+        # are batch rows of the merged launch.
+        mask = build_latent_mask(
+            a.latent_height, int(zq.shape[2]), a.vae_scale,
+            a.time_resolution,
+            mask_time_begin=float(body.get("mask_time_begin", 0.0)),
+            mask_time_end=float(body.get("mask_time_end", 0.0)),
+            mask_frequency_begin=int(body.get("mask_frequency_begin", 0))
+            // a.vae_scale,
+            mask_frequency_end=int(body.get("mask_frequency_end", 0))
+            // a.vae_scale,
+            inpaint_area=str(body.get("inpaint_area", "masked")),
+        )
+        signature = (
+            "inp",
+            int(zq.shape[2]),
+            int(body.get("steps", 20)),
+            float(body.get("noising_strength", 1.0)),
+            float(body.get("cfg", 6.0)) != 1.0,
+            str(body.get("sampler", "ddim")),
+        )
+        payload = dict(body)
+        payload["zq"] = zq
+        payload["mask"] = mask
         return self.batcher.submit(signature, payload,
                                    timeout=self.request_timeout_s,
                                    priority=int(body.get("priority", 0)))
@@ -379,6 +473,7 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
             routes = {
                 "/v1/text2sound": app.text2sound,
                 "/v1/sound2sound": app.sound2sound,
+                "/v1/inpaint": app.inpaint,
                 "/v1/track": app.render_track,
                 "/v1/warmup": app.warmup,
             }

@@ -307,6 +307,50 @@ class TestHTTPServer:
         assert max(b["batch_size_executed"] for _, b in results) >= 2
         assert (results[0][1]["audio_b64"] != results[1][1]["audio_b64"])
 
+    def test_inpaint_endpoint_coalesces(self, server):
+        """Concurrent inpaint requests with DIFFERENT mask rectangles and
+        inpaint areas merge into one launch (masks are per-sample rows),
+        and each returns valid audio."""
+        from scipy.io import wavfile
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        wave = np.round(np.sin(2 * np.pi * 330 * t) * 20000).astype(np.int16)
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, wave)
+        audio_b64 = base64.b64encode(buf.getvalue()).decode()
+        base_req = {"audio_b64": audio_b64, "duration_sec": 1.0, "steps": 3,
+                    "mask_time_begin": 0.2, "mask_time_end": 0.8,
+                    "mask_frequency_begin": 0, "mask_frequency_end": 512}
+        status, _ = _post(server, "/v1/inpaint",
+                          dict(base_req, prompt="warm", cfg=2.0, seed=0))
+        assert status == 200
+        reqs = [
+            dict(base_req, prompt="an organ", cfg=2.0, seed=1,
+                 inpaint_area="masked"),
+            dict(base_req, prompt="a bell", cfg=6.0, negative_prompt="hum",
+                 seed=2, inpaint_area="unmasked", mask_time_begin=0.0,
+                 mask_time_end=0.4),
+        ]
+        results = [None, None]
+
+        def call(i):
+            results[i] = _post(server, "/v1/inpaint", reqs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(reqs))]
+        for t_ in threads:
+            t_.start()
+        for t_ in threads:
+            t_.join()
+        for status, body in results:
+            assert status == 200
+            out = wavfile.read(
+                io.BytesIO(base64.b64decode(body["audio_b64"])))[1]
+            assert np.isfinite(out.astype(np.float64)).all()
+        assert max(b["batch_size_executed"] for _, b in results) >= 2
+        assert (results[0][1]["audio_b64"] != results[1][1]["audio_b64"])
+
     def test_track_endpoint(self, server, tmp_path):
         from diffusynth_tpu.midi.parser import write_midi
 
