@@ -87,6 +87,29 @@ class MicroBatcher:
             raise req.error
         return req.result
 
+    def submit_many(self, signature: Tuple, payloads: List[Any],
+                    timeout: float = 300.0, priority: int = 0) -> List[Any]:
+        """Submit several rows of ONE logical request (e.g. batchsize-N
+        variations) and block until all complete. The rows share the
+        signature, so they coalesce with each other (and with concurrent
+        requests) into merged launches; one shared deadline covers the
+        whole set."""
+        if self.is_stuck():
+            raise DeviceStuckError(
+                f"in-flight batch stuck for {self.inflight_age_s():.0f}s "
+                f"(> {self.stuck_after_s:.0f}s); refusing new work")
+        reqs = [_Request(signature, p, priority=priority) for p in payloads]
+        for req in reqs:
+            self._queue.put(req)
+        deadline = time.monotonic() + timeout
+        for req in reqs:
+            if not req.event.wait(max(0.0, deadline - time.monotonic())):
+                raise TimeoutError("generation timed out")
+        for req in reqs:
+            if req.error is not None:
+                raise req.error
+        return [req.result for req in reqs]
+
     def _loop(self):
         while not self._stop.is_set():
             try:

@@ -275,6 +275,26 @@ class DiffuSynthServer:
             for i in range(n)
         ]
 
+    def _submit_expanded(self, signature: Tuple, payload: Dict,
+                         body: Dict) -> Dict:
+        """Submit a request, expanding batchsize-N into N batcher rows
+        (row i uses seed+i — the reference UI's variations slider,
+        gradio_webUI.py:68-69). Rows coalesce with each other and with
+        concurrent traffic; N=1 keeps the single-result response shape."""
+        k = max(1, int(body.get("batchsize", 1)))
+        prio = int(body.get("priority", 0))
+        if k == 1:
+            return self.batcher.submit(signature, payload,
+                                       timeout=self.request_timeout_s,
+                                       priority=prio)
+        seed = int(body.get("seed", 0))
+        rows = [dict(payload, seed=seed + i) for i in range(k)]
+        results = self.batcher.submit_many(signature, rows,
+                                           timeout=self.request_timeout_s,
+                                           priority=prio)
+        return {"results": results, "batchsize": k,
+                "sample_rate": results[0]["sample_rate"]}
+
     # -- request handlers ------------------------------------------------------
 
     def text2sound(self, body: Dict) -> Dict:
@@ -291,9 +311,7 @@ class DiffuSynthServer:
             float(body.get("cfg", 6.0)) != 1.0,
             str(body.get("sampler", "ddim")),
         )
-        return self.batcher.submit(signature, body,
-                                   timeout=self.request_timeout_s,
-                                   priority=int(body.get("priority", 0)))
+        return self._submit_expanded(signature, body, body)
 
     def _encode_upload(self, body: Dict) -> jnp.ndarray:
         """Decode the request's base64 WAV and encode it to a (1, H, W, C)
@@ -327,9 +345,7 @@ class DiffuSynthServer:
         )
         payload = dict(body)
         payload["zq"] = zq
-        return self.batcher.submit(signature, payload,
-                                   timeout=self.request_timeout_s,
-                                   priority=int(body.get("priority", 0)))
+        return self._submit_expanded(signature, payload, body)
 
     def inpaint(self, body: Dict) -> Dict:
         from diffusynth_tpu.pipelines.inpaint import build_latent_mask
@@ -361,9 +377,7 @@ class DiffuSynthServer:
         payload = dict(body)
         payload["zq"] = zq
         payload["mask"] = mask
-        return self.batcher.submit(signature, payload,
-                                   timeout=self.request_timeout_s,
-                                   priority=int(body.get("priority", 0)))
+        return self._submit_expanded(signature, payload, body)
 
     def render_track(self, body: Dict) -> Dict:
         from diffusynth_tpu.midi import MidiFile
@@ -391,22 +405,41 @@ class DiffuSynthServer:
                 "duration_sec": len(audio) / sr}
 
     def warmup(self, body: Dict) -> Dict:
-        """Precompile programs for the given width buckets and batch-size
+        """Precompile programs for the given (task, width, batch-size)
         buckets (a fresh merged-batch size is otherwise a multi-minute
-        recompile through the remote compiler)."""
+        recompile through the remote compiler). tasks: any of
+        "t2s" (default), "s2s", "inp"; the guided tasks warm with a
+        zero guide latent/mask at the manifest's noising_strength."""
         widths = body.get("widths", [64])
         steps = int(body.get("steps", 20))
         cfg = float(body.get("cfg", 6.0))
+        sampler = str(body.get("sampler", "ddim"))
+        tasks = [str(t) for t in body.get("tasks", ["t2s"])]
         batch_sizes = [int(b) for b in body.get("batch_sizes", [1])]
+        d = self.runtime.config.diffusion
+        a = self.runtime.config.audio
         compiled = []
-        for w in widths:
-            for b in batch_sizes:
-                self._run_batch(
-                    ("t2s", int(w), steps, cfg != 1.0, "ddim"),
-                    [{"prompt": "warmup", "seed": i, "cfg": cfg}
-                     for i in range(b)],
-                )
-                compiled.append({"width": int(w), "batch": b})
+        for task in tasks:
+            strength = float(body.get(
+                "noising_strength", 1.0 if task == "inp" else 0.7))
+            for w in widths:
+                w = int(w)
+                for b in batch_sizes:
+                    rows = [{"prompt": "warmup", "seed": i, "cfg": cfg}
+                            for i in range(b)]
+                    if task == "t2s":
+                        sig = ("t2s", w, steps, cfg != 1.0, sampler)
+                    else:
+                        zq = jnp.zeros((1, d.height, w, d.channels))
+                        for row in rows:
+                            row["zq"] = zq
+                        if task == "inp":
+                            for row in rows:
+                                row["mask"] = np.zeros(
+                                    (a.latent_height, w), np.float32)
+                        sig = (task, w, steps, strength, cfg != 1.0, sampler)
+                    self._run_batch(sig, rows)
+                    compiled.append({"task": task, "width": w, "batch": b})
         return {"compiled": compiled}
 
     def warmup_from_manifest(self, path: str) -> None:

@@ -307,6 +307,35 @@ class TestHTTPServer:
         assert max(b["batch_size_executed"] for _, b in results) >= 2
         assert (results[0][1]["audio_b64"] != results[1][1]["audio_b64"])
 
+    def test_batchsize_variations(self, server):
+        """batchsize=k expands into k coalesced rows (seed+i each) and
+        returns k distinct audios; row i matches a solo run with seed+i."""
+        from scipy.io import wavfile
+
+        req = {"prompt": "a small bell", "duration_sec": 1.0, "steps": 3,
+               "cfg": 2.0, "seed": 7, "batchsize": 3}
+        status, body = _post(server, "/v1/text2sound", req)
+        assert status == 200
+        assert body["batchsize"] == 3 and len(body["results"]) == 3
+        clips = []
+        for r in body["results"]:
+            out = wavfile.read(
+                io.BytesIO(base64.b64decode(r["audio_b64"])))[1]
+            assert np.isfinite(out.astype(np.float64)).all()
+            assert r["batch_size_executed"] >= 3
+            clips.append(out.astype(np.float32) / 32767.0)
+        assert not np.array_equal(clips[0], clips[1])
+        assert not np.array_equal(clips[1], clips[2])
+        # Row 1 used seed 8: a solo seed-8 request must match (tight, not
+        # bitwise — different batch sizes reorder f32 reductions).
+        status, solo = _post(server, "/v1/text2sound",
+                             dict(req, seed=8, batchsize=1))
+        assert status == 200
+        ref = wavfile.read(
+            io.BytesIO(base64.b64decode(solo["audio_b64"])))[1].astype(
+            np.float32) / 32767.0
+        assert np.abs(clips[1] - ref).max() < 1e-3
+
     def test_inpaint_endpoint_coalesces(self, server):
         """Concurrent inpaint requests with DIFFERENT mask rectangles and
         inpaint areas merge into one launch (masks are per-sample rows),
@@ -430,5 +459,15 @@ class TestServingHardening:
         status, body = _post(server, "/v1/warmup", {
             "widths": [16], "steps": 2, "cfg": 1.0, "batch_sizes": [1, 2]})
         assert status == 200
-        assert {"width": 16, "batch": 1} in body["compiled"]
-        assert {"width": 16, "batch": 2} in body["compiled"]
+        assert {"task": "t2s", "width": 16, "batch": 1} in body["compiled"]
+        assert {"task": "t2s", "width": 16, "batch": 2} in body["compiled"]
+
+    def test_warmup_guided_tasks(self, server):
+        """Warmup precompiles sound2sound and inpaint programs too (zero
+        guide latent / mask at the manifest's noising_strength)."""
+        status, body = _post(server, "/v1/warmup", {
+            "widths": [16], "steps": 2, "cfg": 1.0, "batch_sizes": [1],
+            "tasks": ["s2s", "inp"], "noising_strength": 0.5})
+        assert status == 200
+        assert {"task": "s2s", "width": 16, "batch": 1} in body["compiled"]
+        assert {"task": "inp", "width": 16, "batch": 1} in body["compiled"]
