@@ -181,6 +181,11 @@ class VQGANTrainConfig(_JsonMixin):
     max_iter: int = 10_000
     save_steps: int = 500
     model_name: str = "vqgan"
+    # Forward/backward compute dtype (params and optimizer state stay
+    # float32). bfloat16 is the TPU-native default (MXU-rate matmuls/convs);
+    # "float32" reproduces the reference's training numerics exactly
+    # (VQGAN.py:589-763 trains f32 on CUDA).
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -199,6 +204,8 @@ class DiffusionTrainConfig(_JsonMixin):
     # (train/diffusion_train.py::ema_of_params); load it for inference
     # with DiffuSynthRuntime.from_pretrained(..., use_ema=True).
     ema_decay: float = 0.0
+    # See VQGANTrainConfig.compute_dtype.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -232,6 +239,8 @@ class GANTrainConfig(_JsonMixin):
     max_iter: int = 40_000
     save_steps: int = 5_000
     model_name: str = "gan"
+    # See VQGANTrainConfig.compute_dtype.
+    compute_dtype: str = "bfloat16"
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,10 @@ from diffusynth_tpu.train.checkpoints import Checkpointer
 from diffusynth_tpu.train.logging import MetricLogger
 
 
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
 def p_losses(unet_apply, params, key, x_start, t, condition, schedule_consts,
              loss_type: str = "huber", noise=None):
     """q_sample -> predict noise -> loss (reference: diffusion.py:261-302).
@@ -160,7 +164,12 @@ def train_diffusion_model(
     """Training loop (reference: diffusion.py:379-523). Returns (variables,
     opt_state)."""
     cfg = train_config
-    unet = ConditionedUnet(unet_config)
+    # Params/optimizer stay float32; cfg.compute_dtype (bfloat16 by
+    # default) sets the forward/backward compute dtype — the module casts
+    # activations, p_losses computes the loss in f32 (TPU-native mixed
+    # precision; the reference trains f32 on CUDA, diffusion.py:379-523).
+    unet = ConditionedUnet(
+        unet_config, dtype=_dtype_of(cfg.compute_dtype))
     logger = logger or MetricLogger(f"runs/{cfg.model_name}_UNet")
 
     data0, attrs0 = next(iterator)

@@ -86,8 +86,13 @@ def train_gan(
 ):
     """Training loop (reference: GAN.py:183-350)."""
     cfg = train_config
-    generator = ConditionedUnet(unet_config)
-    disc = GANDiscriminator(label_emb_dim=unet_config.label_emb_dim)
+    # float32 params, cfg.compute_dtype forward/backward (see
+    # VQGANTrainConfig.compute_dtype).
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        cfg.compute_dtype]
+    generator = ConditionedUnet(unet_config, dtype=dtype)
+    disc = GANDiscriminator(label_emb_dim=unet_config.label_emb_dim,
+                            dtype=dtype)
     logger = logger or MetricLogger(f"runs/{cfg.model_name}_GAN")
 
     data0, attrs0 = next(iterator)

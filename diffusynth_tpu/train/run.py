@@ -114,6 +114,12 @@ def main(argv=None):
                         help="weight-EMA decay for diffusion training "
                              "(e.g. 0.9995; default off = reference "
                              "behavior)")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=["bfloat16", "float32"],
+                        help="forward/backward compute dtype for "
+                             "vqgan/diffusion/gan (params stay float32; "
+                             "default bfloat16, the TPU-native choice; "
+                             "float32 matches the reference numerics)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -147,6 +153,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.compute_dtype is not None:
+            cfg = cfg.replace(compute_dtype=args.compute_dtype)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_vqgan(app.vqgan, cfg, it, checkpointer=ckpt, mesh=mesh,
                     seed=args.seed)
@@ -158,6 +166,8 @@ def main(argv=None):
             cfg = cfg.replace(batch_size=args.batch_size)
         if args.ema_decay is not None:
             cfg = cfg.replace(ema_decay=args.ema_decay)
+        if args.compute_dtype is not None:
+            cfg = cfg.replace(compute_dtype=args.compute_dtype)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         uncond = np.zeros(app.unet.label_emb_dim, np.float32)
         train_diffusion_model(app.unet, cfg, it, lookup, uncond,
@@ -191,6 +201,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.compute_dtype is not None:
+            cfg = cfg.replace(compute_dtype=args.compute_dtype)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_gan(app.unet, cfg, it, lookup, checkpointer=ckpt, mesh=mesh,
                   seed=args.seed)

@@ -136,8 +136,14 @@ def train_vqgan(
     """Training loop (reference: VQGAN.py:589-763). Returns (g_vars,
     d_params)."""
     cfg = train_config
-    vqgan = VQGAN(model_config)
-    disc = VQGANDiscriminator()
+    # Params/optimizers stay float32; cfg.compute_dtype (bfloat16 default)
+    # sets the conv compute dtype — the VQ codebook/EMA stats are f32
+    # inside the module regardless (nn/vq.py), and the losses reduce in
+    # the f32 model outputs' dtype promoted against f32 data.
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        cfg.compute_dtype]
+    vqgan = VQGAN(model_config, dtype=dtype)
+    disc = VQGANDiscriminator(dtype=dtype)
     logger = logger or MetricLogger(f"runs/{cfg.model_name}_VQVAE")
 
     data0, _ = next(iterator)

@@ -68,6 +68,32 @@ class TestDiffusionTrainStep:
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_compute_dtype_float32_loop(self, tmp_path):
+        """compute_dtype="float32" (the reference-numerics opt-out of the
+        bf16 default) drives the loop with an f32-compute module; params
+        come back float32 and finite. (The bf16 default path is exercised
+        by test_loop_with_checkpointing and the VQGAN dtype test.)"""
+        from diffusynth_tpu.train.logging import MetricLogger
+
+        ds = SyntheticNSynthDataset(n=16, shape=(8, 8, 4))
+
+        def cond_lookup(attrs):
+            return np.stack([
+                np.full(16, a["instrument"] / 8.0, np.float32) for a in attrs
+            ])
+
+        it = data_iterator(ds, batch_size=4, seed=0)
+        cfg = DiffusionTrainConfig(batch_size=4, max_iter=4, save_steps=100,
+                                   timesteps=50, compute_dtype="float32",
+                                   model_name="t_f32")
+        params, _ = train_diffusion_model(
+            SMALL_UNET, cfg, it, cond_lookup, np.zeros(16, np.float32),
+            logger=MetricLogger(str(tmp_path), use_tensorboard=False),
+        )
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+            assert bool(jnp.isfinite(leaf).all())
+
     def test_weight_ema(self):
         """ema_decay keeps an EMA copy of the weights inside opt_state:
         after one step ema == decay*init + (1-decay)*params (exactly);
@@ -201,6 +227,29 @@ class TestVQGANTrainStep:
         assert last["g_loss"] < first["g_loss"]
         assert np.isfinite(last["d_loss"])
         assert last["perplexity"] >= 1.0
+
+    def test_compute_dtype_bf16_keeps_f32_params(self, tmp_path):
+        """train_vqgan with the default bfloat16 compute dtype: params and
+        opt state stay float32 (mixed precision — only the forward/backward
+        compute casts), metrics stay finite."""
+        from diffusynth_tpu.train.vqgan_train import train_vqgan
+
+        mc = VQGANConfig(hidden_channels=(8, 16), attn_pos=(),
+                         num_embeddings=16, num_groups=4)
+        ds = SyntheticNSynthDataset(n=8, shape=(32, 16, 3))
+        it = data_iterator(ds, batch_size=2, seed=0)
+        from diffusynth_tpu.train.logging import MetricLogger
+
+        cfg = VQGANTrainConfig(max_iter=2, save_steps=10,
+                               compute_dtype="bfloat16")
+        assert cfg.compute_dtype == "bfloat16"  # the TPU-native default
+        g_vars, d_params = train_vqgan(
+            mc, cfg, it,
+            logger=MetricLogger(str(tmp_path), use_tensorboard=False))
+        for leaf in jax.tree_util.tree_leaves(g_vars["params"]):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(d_params):
+            assert leaf.dtype == jnp.float32, leaf.dtype
 
     def test_ema_state_changes(self):
         from diffusynth_tpu.nn.vqgan import VQGAN, VQGANDiscriminator
