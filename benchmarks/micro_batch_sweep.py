@@ -33,7 +33,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="2,4,8,16,32,64,128")
     p.add_argument("--width", type=int, default=64)
+    p.add_argument("--modes", default="fused-auto,xla-only")
     args = p.parse_args()
+    modes = {m: {"fused-auto": None, "xla-only": False, "fused-on": True}[m]
+             for m in args.modes.split(",")}
 
     print("devices:", jax.devices(), flush=True)
     cfg = UNetConfig()
@@ -45,7 +48,7 @@ def main():
         t = jnp.full((B,), 500, jnp.int32)
         cond = jax.random.normal(jax.random.PRNGKey(1), (B, 512),
                                  jnp.bfloat16)
-        for mode, fused in (("fused-auto", None), ("xla-only", False)):
+        for mode, fused in modes.items():
             c = dataclasses.replace(cfg, fused_kernels=fused)
             model = ConditionedUnet(c, dtype=jnp.bfloat16)
             params = model.init(jax.random.PRNGKey(2),

@@ -338,3 +338,57 @@ class TestStepBatchFence:
         got = attention_site(*a.values(), **kw)
         assert np.isfinite(np.asarray(got)).all()
         assert not dispatch.known_bad_step_batch(2)
+
+
+class TestAutoBodyDispatch:
+    """auto_body_pallas: the TPU auto gate for the fused body. ON inside
+    the measured XLA reduce-fusion cliff (kernel batch 8..127, where the
+    XLA body runs 35-70x slower per sample — benchmarks/micro_batch_sweep
+    .py / RESULTS_r2.md), OFF at b128+ (XLA wins, H10) and at tiny
+    batches, OFF when the SB=1 VMEM footprint can't fit."""
+
+    def test_cliff_batches_on(self):
+        from diffusynth_tpu.ops.fused_block import auto_body_pallas
+
+        # Production U-Net L0 site dims: H=128, W=64, 96->192->96, bf16.
+        for B in (8, 16, 32, 64, 127):
+            assert auto_body_pallas(B, 128, 64, 96, 96, 192, 96, 2), B
+
+    def test_outside_cliff_off(self):
+        from diffusynth_tpu.ops.fused_block import auto_body_pallas
+
+        for B in (1, 2, 4, 7, 128, 256):
+            assert not auto_body_pallas(B, 128, 64, 96, 96, 192, 96, 2), B
+
+    def test_vmem_footprint_falls_back(self):
+        from diffusynth_tpu.ops.fused_block import auto_body_pallas
+
+        # A very wide signature (track render, W=2048) blows the SB=1
+        # VMEM footprint: fall back to XLA instead of failing to compile.
+        assert not auto_body_pallas(8, 128, 2048, 96, 96, 192, 96, 2)
+
+    def test_int8_defers_to_cliff_gate(self, monkeypatch):
+        """quantize="int8" must not force the XLA body INSIDE the cliff
+        range (the cliff dwarfs the int8 conv win). On CPU the auto gate
+        resolves to the reference path either way — pin the decision by
+        intercepting the fused entry point."""
+        import diffusynth_tpu.ops.fused_block as fb
+
+        from diffusynth_tpu.ops.quant import want_int8
+
+        # C=256 makes the first conv int8-eligible (k >= INT8_MIN_K).
+        a, _ = _convnext_args(jax.random.PRNGKey(11), B=8, C=256, Co=256)
+        assert want_int8("int8", 256, 192)
+        args = list(a.values()) + [None, None]
+
+        taken = {}
+
+        def fake_fused(*fargs, **fkw):
+            taken["pallas"] = True
+            return convnext_body_reference(*args)
+
+        monkeypatch.setattr(fb, "_convnext_body_fused", fake_fused)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        out = fb.convnext_body(*args, quantize="int8")
+        assert taken.get("pallas"), "cliff batch took the XLA body"
+        assert np.isfinite(np.asarray(out)).all()
