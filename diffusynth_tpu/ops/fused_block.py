@@ -476,36 +476,6 @@ def _fused_bwd(H, W, norm, eps, n1, n2, external_stats, residuals, grad):
 _convnext_body_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def auto_body_pallas(B: int, H: int, W: int, C: int, Cr: int, D: int,
-                     Co: int, itemsize: int) -> bool:
-    """Auto-dispatch policy for the fused body on TPU (backend checked by
-    the caller). Two measured regimes (RESULTS_r2.md):
-
-    - B >= 128 (and tiny B <= 4): OFF. XLA's dw-conv+stats epilogue
-      fusions win at every production shape (H10: 192.6 vs 194.3 ms/step
-      at b128; relaxed-%8 Pallas measured 252.8, H7). b2/b4 XLA forwards
-      are already at 2.4-3.4 ms/sample.
-    - 8 <= B < 128: ON. XLA hits a catastrophic reduce-fusion cliff at
-      these batch dims — the per-sample GroupNorm stat reduce (f32[B])
-      fused into conv producers runs 35-70x slower PER SAMPLE than at
-      b128 (424 ms at b8 vs 192 ms at b128 for the whole U-Net forward;
-      benchmarks/micro_batch_sweep.py). The fused body computes its GN
-      stats in-VMEM, sidestepping the pathological fusion entirely:
-      22.1 ms at b8, 204.8 ms at b64 (19x / 34x). This is the UI-default
-      batch regime (reference batch 4 -> CFG batch 8).
-
-    The VMEM bound mirrors the pallas_call's SB=1 footprint (blocks + f32
-    temps + padded scratch, see _convnext_body_fused) so wide track-render
-    signatures fall back instead of failing to fit.
-    """
-    hw = H * W
-    pad = W  # P <= W in the kernel's flattened-row padding
-    footprint = (hw * (C + Cr + Co) * itemsize
-                 + hw * D * 8
-                 + 2 * (hw + 2 * pad) * (C + D) * itemsize)
-    return 8 <= B < 128 and footprint <= 100 * 2 ** 20
-
-
 def convnext_body(
     h, temb_vec, xres, g1s, g1b, w1, b1, g2s, g2b, w2, b2, wres, bres,
     stats=None, *, norm: bool = True, eps: float = 1e-5,
@@ -535,12 +505,7 @@ def convnext_body(
     if temb_vec is None:
         temb_vec = jnp.zeros((B, C), h.dtype)
     if want_int8(quantize, C, D) or want_int8(quantize, D, Co):
-        # int8 runs in the XLA body — but NOT inside the batch-8..127
-        # reduce-fusion cliff (see the auto gate below): there the bf16
-        # Pallas body is ~20x faster than the int8 XLA body could ever be
-        # (the cliff dwarfs the int8 conv win), so the auto gate decides.
-        if not (8 <= B < 128):
-            use_pallas = False
+        use_pallas = False
     # Measurement knob (like DIFFUSYNTH_GN_BARRIER): force the XLA body
     # everywhere while leaving the attention-site kernel dispatch alone —
     # the two share configs.UNetConfig.fused_kernels.
@@ -550,9 +515,18 @@ def convnext_body(
     if known_bad_step_batch(B):
         use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and auto_body_pallas(B, H, W, C, xres.shape[-1], D,
-                                           Co, h.dtype.itemsize))
+        # Default OFF everywhere. At b128+ XLA's dw-conv+stats epilogue
+        # fusions win at every production shape (H10: 192.6 vs 194.3
+        # ms/step; relaxed-%8 Pallas measured 252.8, H7). Inside the
+        # batch-8..127 XLA reduce-fusion cliff this kernel DID win 19-34x
+        # (22.1 ms at b8 vs 424.5; briefly shipped as an auto gate), but
+        # the batch-aware stat barrier in ops/group_norm.stats_input
+        # fixes the same cliff INSIDE the XLA body and measures faster
+        # still (18.5 ms at b8, 200.9 at b64 vs the kernel's 22.1/204.8)
+        # with no VMEM gating — the f32 ups_2_3 site OOMed the kernel's
+        # scoped VMEM (119.88 vs 110 MiB). The kernel remains available
+        # via use_pallas=True as the measurement reference.
+        use_pallas = False
     if use_pallas:
         external = stats is not None
         if external:

@@ -21,30 +21,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gn_barrier_enabled() -> bool:
-    """Keep GN statistics OUT of producer epilogues (default OFF —
-    measured WORSE).
+def gn_barrier_enabled() -> Optional[bool]:
+    """Keep GN statistics OUT of producer epilogues? None = batch-aware
+    auto (see stats_input); DIFFUSYNTH_GN_BARRIER=1/0 forces on/off.
 
-    Round-2 experiment (benchmarks/RESULTS_r2.md): the step's top ops are
-    "convert_reduce_fusion"s — producers with the per-sample GN stat
-    reduce fused into their epilogue — at ~2x the bare producer's cost
-    (7.78 vs 3.89 ms for conv 96->192 at 128x64 b128), suggesting the
-    epilogue was pessimizing. Forcing the split with an optimization
-    barrier measured 266.5 vs 239.9 ms/step: the extra standalone passes
-    cost MORE than the epilogues — the fusions are net-beneficial, and
-    the residual cost is dominated by the depthwise convs hidden inside
-    them. Kept as DIFFUSYNTH_GN_BARRIER=1 for profiling (it exposes
-    unfused per-op costs).
+    Two measured regimes (benchmarks/RESULTS_r2.md):
+
+    - Batch >= 128 (and <= 4): the conv+stat epilogue fusions are
+      net-beneficial. The step's top ops are "convert_reduce_fusion"s —
+      producers with the per-sample GN stat reduce fused into their
+      epilogue — at ~2x the bare producer's cost (7.78 vs 3.89 ms for
+      conv 96->192 at 128x64 b128), but forcing the split with an
+      optimization barrier measured 266.5 vs 239.9 ms/step: the extra
+      standalone passes cost MORE than the epilogues.
+    - Batch 8..127: the SAME fusion pattern is catastrophic — 35-70x
+      slower per sample (the whole U-Net forward: 424.5 ms at b8 vs
+      192 ms at b128; benchmarks/micro_batch_sweep.py). The barrier
+      alone fixes it: 18.51 ms at b8 (23x), CHEAPER than the Pallas
+      body kernel (22.09 ms) because XLA's dw-conv lowering still wins
+      once the pathological reduce fusion is severed.
     """
     import os
 
-    return os.environ.get("DIFFUSYNTH_GN_BARRIER") in ("1", "true")
+    v = os.environ.get("DIFFUSYNTH_GN_BARRIER")
+    if v in ("1", "true"):
+        return True
+    if v in ("0", "false"):
+        return False
+    return None
 
 
 def stats_input(x: jnp.ndarray) -> jnp.ndarray:
     """The tensor GN statistics should be computed FROM: behind an
-    optimization barrier when gn_barrier_enabled() (see above)."""
-    if gn_barrier_enabled():
+    optimization barrier inside the XLA batch-8..127 reduce-fusion
+    cliff on TPU (see gn_barrier_enabled), pass-through elsewhere."""
+    forced = gn_barrier_enabled()
+    if forced is None:
+        barrier = (jax.default_backend() == "tpu"
+                   and 8 <= x.shape[0] < 128)
+    else:
+        barrier = forced
+    if barrier:
         return jax.lax.optimization_barrier(x)
     return x
 

@@ -340,55 +340,55 @@ class TestStepBatchFence:
         assert not dispatch.known_bad_step_batch(2)
 
 
-class TestAutoBodyDispatch:
-    """auto_body_pallas: the TPU auto gate for the fused body. ON inside
-    the measured XLA reduce-fusion cliff (kernel batch 8..127, where the
-    XLA body runs 35-70x slower per sample — benchmarks/micro_batch_sweep
-    .py / RESULTS_r2.md), OFF at b128+ (XLA wins, H10) and at tiny
-    batches, OFF when the SB=1 VMEM footprint can't fit."""
+class TestStatsBarrierPolicy:
+    """ops/group_norm.stats_input: the batch-aware stat barrier that
+    fixes the XLA batch-8..127 reduce-fusion cliff (RESULTS_r2.md: the
+    whole U-Net forward at b8 measured 424.5 ms with the per-sample GN
+    stat reduce fused into conv producer epilogues, 18.5 ms with the
+    stats behind an optimization barrier). The barrier must fire ONLY
+    inside the cliff batch range on TPU — at b128 it measured WORSE
+    (266.5 vs 239.9 ms/step, H3)."""
 
-    def test_cliff_batches_on(self):
-        from diffusynth_tpu.ops.fused_block import auto_body_pallas
+    @staticmethod
+    def _has_barrier(x):
+        from diffusynth_tpu.ops.group_norm import stats_input
 
-        # Production U-Net L0 site dims: H=128, W=64, 96->192->96, bf16.
-        for B in (8, 16, 32, 64, 127):
-            assert auto_body_pallas(B, 128, 64, 96, 96, 192, 96, 2), B
+        # Fresh wrapper per call: jax's tracing cache keys on the
+        # function object, and stats_input's barrier decision is made in
+        # python at trace time — a cached jaxpr would leak the previous
+        # test's backend/env into this one.
+        jaxpr = jax.make_jaxpr(lambda y: stats_input(y))(x)
+        return any(e.primitive.name == "optimization_barrier"
+                   for e in jaxpr.eqns)
 
-    def test_outside_cliff_off(self):
-        from diffusynth_tpu.ops.fused_block import auto_body_pallas
-
-        for B in (1, 2, 4, 7, 128, 256):
-            assert not auto_body_pallas(B, 128, 64, 96, 96, 192, 96, 2), B
-
-    def test_vmem_footprint_falls_back(self):
-        from diffusynth_tpu.ops.fused_block import auto_body_pallas
-
-        # A very wide signature (track render, W=2048) blows the SB=1
-        # VMEM footprint: fall back to XLA instead of failing to compile.
-        assert not auto_body_pallas(8, 128, 2048, 96, 96, 192, 96, 2)
-
-    def test_int8_defers_to_cliff_gate(self, monkeypatch):
-        """quantize="int8" must not force the XLA body INSIDE the cliff
-        range (the cliff dwarfs the int8 conv win). On CPU the auto gate
-        resolves to the reference path either way — pin the decision by
-        intercepting the fused entry point."""
-        import diffusynth_tpu.ops.fused_block as fb
-
-        from diffusynth_tpu.ops.quant import want_int8
-
-        # C=256 makes the first conv int8-eligible (k >= INT8_MIN_K).
-        a, _ = _convnext_args(jax.random.PRNGKey(11), B=8, C=256, Co=256)
-        assert want_int8("int8", 256, 192)
-        args = list(a.values()) + [None, None]
-
-        taken = {}
-
-        def fake_fused(*fargs, **fkw):
-            taken["pallas"] = True
-            return convnext_body_reference(*args)
-
-        monkeypatch.setattr(fb, "_convnext_body_fused", fake_fused)
+    def test_cliff_batches_barriered_on_tpu(self, monkeypatch):
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        out = fb.convnext_body(*args, quantize="int8")
-        assert taken.get("pallas"), "cliff batch took the XLA body"
-        assert np.isfinite(np.asarray(out)).all()
+        for B in (8, 16, 64, 127):
+            assert self._has_barrier(jnp.zeros((B, 4, 4, 96))), B
+
+    def test_outside_cliff_passthrough(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        for B in (1, 2, 4, 7, 128, 256):
+            assert not self._has_barrier(jnp.zeros((B, 4, 4, 96))), B
+
+    def test_cpu_passthrough(self):
+        assert not self._has_barrier(jnp.zeros((8, 4, 4, 96)))
+
+    def test_env_force_overrides(self, monkeypatch):
+        monkeypatch.setenv("DIFFUSYNTH_GN_BARRIER", "1")
+        assert self._has_barrier(jnp.zeros((2, 4, 4, 96)))
+        monkeypatch.setenv("DIFFUSYNTH_GN_BARRIER", "0")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert not self._has_barrier(jnp.zeros((8, 4, 4, 96)))
+
+    def test_barrier_is_numerically_inert(self, monkeypatch):
+        """The barriered GN must equal the unbarriered GN exactly."""
+        from diffusynth_tpu.ops.group_norm import group_norm_reference
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 96))
+        s = jnp.linspace(0.5, 1.5, 96)
+        b = jnp.linspace(-0.1, 0.1, 96)
+        base = group_norm_reference(x, s, b, 1e-5)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = group_norm_reference(x, s, b, 1e-5)
+        assert np.array_equal(np.asarray(base), np.asarray(got))
