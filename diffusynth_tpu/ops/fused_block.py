@@ -37,6 +37,23 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+# H15 (GN1-fold-into-conv, measured and DELETED — losing-paths policy):
+# GroupNorm(num_groups=1) has per-sample SCALAR stats, so the normalize
+# before conv1 is exactly foldable: conv(y, W) = inv * conv(x, W*g) +
+# conv(c, W) with c = b - m*inv*g, and conv(c, W) of a spatially-constant
+# vector takes only 9 border-class values per (sample, out-channel) — one
+# (B, 3, 3, C) conv, edge-replicated. Implemented two ways and measured at
+# the headline config (micro_scan, CFG b128, xplane device time):
+#   - concat-of-broadcasts expansion: fused 206.8 / int8 192.3 ms/step —
+#     XLA materializes the broadcasts as full f32 HBM tensors (+14 ms).
+#   - nested-select expansion (fuses into the conv epilogue): fused 193.8
+#     / int8 179.3 vs baselines 192.6 / 178.2 — NEUTRAL-to-slightly-worse.
+# The normalize passes it removes were already fully overlapped behind the
+# conv/dw-conv work (H3's epilogue-fusion finding from the other side);
+# the border machinery adds ~1 ms of its own. Exactness was verified to
+# 2e-4 f32 before deletion (tests ran in commit history).
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _conv_pf32(x, w, stride: int, pad: int, groups: int):
     """conv_general_dilated with f32-accumulated output AND a working
@@ -403,6 +420,8 @@ def convnext_body_reference(
         return conv(x, w)
 
     x1 = h + temb_vec[:, None, None, :].astype(dtype)
+    # (H15, the GN1-fold-into-conv1 idea, was measured here and deleted —
+    # see the note above _conv_pf32.)
     if norm and stats is not None:
         s1 = stats[0].astype(jnp.float32).reshape(-1, 1, 1, 1)
         s2 = stats[1].astype(jnp.float32).reshape(-1, 1, 1, 1)
