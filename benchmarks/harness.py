@@ -213,6 +213,28 @@ def bench_training(rt, iters=10):
     results["diffusion_train_steps_per_sec_b8"] = iters / (
         time.perf_counter() - t0)
 
+    # Same step at steps_per_dispatch=8 (one scan dispatch carries 8
+    # optimizer steps; amortizes the per-call marshaling of the donated
+    # params+opt_state pytree — the wall-vs-device gap of the row above).
+    K = 8
+    init_fn, stepk = make_diffusion_train_step(rt.unet, timesteps=1000,
+                                               steps_per_dispatch=K)
+    opt_state = init_fn(params)
+    lat_k = jnp.broadcast_to(latents[None], (K,) + latents.shape)
+    cond_k = jnp.broadcast_to(cond[None], (K,) + cond.shape)
+    params, opt_state, losses = stepk(params, opt_state, key, lat_k, cond_k,
+                                      uncond)  # compile
+    jax.block_until_ready(losses)
+    n_disp = max(1, iters // 2)
+    t0 = time.perf_counter()
+    for i in range(n_disp):
+        key, sub = jax.random.split(key)
+        params, opt_state, losses = stepk(params, opt_state, sub, lat_k,
+                                          cond_k, uncond)
+    jax.block_until_ready(losses)
+    results["diffusion_train_steps_per_sec_b8_k8"] = n_disp * K / (
+        time.perf_counter() - t0)
+
     # VQGAN step (B=4, 512x256 spectrograms).
     disc = VQGANDiscriminator(dtype=rt.vqgan.dtype)
     data = jnp.asarray(
@@ -229,6 +251,24 @@ def bench_training(rt, iters=10):
             g_vars, d_params, g_opt, d_opt, data)
     m["g_loss"].block_until_ready()
     results["vqgan_train_steps_per_sec_b4"] = max(iters // 2, 1) / (
+        time.perf_counter() - t0)
+
+    # VQGAN at steps_per_dispatch=4 (same marshaling-amortization row).
+    Kv = 4
+    vinitk, vstepk = make_vqgan_train_step(rt.vqgan, disc, VQGANTrainConfig(),
+                                           steps_per_dispatch=Kv)
+    g_opt, d_opt = vinitk(g_vars, d_params)
+    data_k = jnp.broadcast_to(data[None], (Kv,) + data.shape)
+    g_vars, d_params, g_opt, d_opt, m = vstepk(g_vars, d_params, g_opt,
+                                               d_opt, data_k)  # compile
+    jax.block_until_ready(m["g_loss"])
+    n_disp = max(1, iters // 4)
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        g_vars, d_params, g_opt, d_opt, m = vstepk(
+            g_vars, d_params, g_opt, d_opt, data_k)
+    jax.block_until_ready(m["g_loss"])
+    results["vqgan_train_steps_per_sec_b4_k4"] = n_disp * Kv / (
         time.perf_counter() - t0)
 
     return {"name": "training_throughput", **results}

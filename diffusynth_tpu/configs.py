@@ -186,6 +186,9 @@ class VQGANTrainConfig(_JsonMixin):
     # "float32" reproduces the reference's training numerics exactly
     # (VQGAN.py:589-763 trains f32 on CUDA).
     compute_dtype: str = "bfloat16"
+    # See DiffusionTrainConfig.steps_per_dispatch (same mechanism: K
+    # alternating D/G iterations lax.scan inside one jitted dispatch).
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
@@ -206,6 +209,14 @@ class DiffusionTrainConfig(_JsonMixin):
     ema_decay: float = 0.0
     # See VQGANTrainConfig.compute_dtype.
     compute_dtype: str = "bfloat16"
+    # Optimizer steps per jitted dispatch (lax.scan over K stacked
+    # batches). 1 = reference-shaped loop. K > 1 amortizes the per-call
+    # host/tunnel marshaling of the donated params+opt_state pytree
+    # (~0.4 s/call on the axon tunnel vs 54 ms of device time at b8 —
+    # RESULTS_r2.md config-5); semantics match K sequential steps modulo
+    # the PRNG stream. Checkpoint/log cadence is kept (boundary-crossing
+    # checks in train_diffusion_model).
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -40,6 +40,19 @@ def shard_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int,
+                           axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 1 (batch) of a (K, B, ...) stack of K batches over the
+    mesh; dim 0 is the steps-per-dispatch axis (scanned on device)."""
+    return NamedSharding(mesh, P(None, axis_name, *([None] * (ndim - 2))))
+
+
+def shard_stacked_batch(x, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a (K, B, ...) host array with the batch dim sharded."""
+    return jax.device_put(
+        x, stacked_batch_sharding(mesh, np.ndim(x), axis_name))
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -36,7 +36,7 @@ from diffusynth_tpu.dsp.utils import create_key
 from diffusynth_tpu.nn.multimodal import MultiModalModel
 from diffusynth_tpu.parallel.mesh import replicate, shard_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
-from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
 
 def _param_labels(params):
@@ -130,7 +130,8 @@ def train_multimodal(
 
     key = jax.random.key(seed + 1)
     best = float("inf")
-    losses = []
+    # MetricWindow: no per-step device sync (see train/logging.py).
+    losses = MetricWindow(cfg.save_steps)
     for i in range(cfg.max_iter):
         data, attrs = next_unique_batch()
         tf = jnp.asarray(text_features_lookup(attrs), jnp.float32)
@@ -140,10 +141,10 @@ def train_multimodal(
             tf = shard_batch(np.asarray(tf), mesh)
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(params, opt_state, sub, latents, tf)
-        losses.append(float(loss))
+        losses.append(loss)
         step = i + 1
         if step % cfg.save_steps == 0:
-            current = float(np.mean(losses[-cfg.save_steps:]))
+            current = losses.mean(cfg.save_steps)
             logger.log("train_total_loss", current, step)
             if checkpointer and current < best:
                 best = current

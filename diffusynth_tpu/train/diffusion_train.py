@@ -20,9 +20,11 @@ import optax
 from diffusynth_tpu.configs import DiffusionTrainConfig, UNetConfig
 from diffusynth_tpu.diffusion.schedule import Schedule
 from diffusynth_tpu.nn.unet import ConditionedUnet
-from diffusynth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffusynth_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch, shard_stacked_batch,
+)
 from diffusynth_tpu.train.checkpoints import Checkpointer
-from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
 
 def _dtype_of(name: str):
@@ -103,6 +105,7 @@ def make_diffusion_train_step(
     optimizer: Optional[optax.GradientTransformation] = None,
     lr: float = 1e-4,
     ema_decay: float = 0.0,
+    steps_per_dispatch: int = 1,
 ):
     """Returns (init_fn, step_fn).
 
@@ -112,6 +115,16 @@ def make_diffusion_train_step(
     random.random(), diffusion.py:471-476). ema_decay > 0 keeps a weight
     EMA inside opt_state (see ema_of_params); the train loop checkpoints
     it as a sibling "UNet_ema" role.
+
+    steps_per_dispatch=K > 1 returns a step_fn over K STACKED batches —
+    latents (K, B, H, W, C), conditions (K, B, D) — that lax.scans the
+    single-step body on device and returns losses (K,). One dispatch then
+    carries K optimizer steps: dispatching a jitted step whose donated
+    params+opt_state pytree has thousands of leaf buffers costs ~0.4 s of
+    host/tunnel argument marshaling per call on this environment (device
+    time 54 ms at b8 — benchmarks/RESULTS_r2.md config-5), and scanning
+    K steps amortizes it K-fold. Semantics identical to K sequential
+    step_fn calls modulo the PRNG stream (keys are split per sub-step).
     """
     optimizer = optimizer or optax.adam(lr)
     if ema_decay:
@@ -125,8 +138,7 @@ def make_diffusion_train_step(
     def init_fn(params):
         return optimizer.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, key, latents, conditions, uncond):
+    def one_step(params, opt_state, key, latents, conditions, uncond):
         k_drop, k_t, k_noise = jax.random.split(key, 3)
         B = latents.shape[0]
         drop = jax.random.bernoulli(k_drop, uncondition_rate, (B,))
@@ -144,7 +156,27 @@ def make_diffusion_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return init_fn, step_fn
+    if steps_per_dispatch == 1:
+        return init_fn, jax.jit(one_step, donate_argnums=(0, 1))
+
+    K = int(steps_per_dispatch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step_fn(params, opt_state, key, latents, conditions, uncond):
+        assert latents.ndim == 5 and latents.shape[0] == K, latents.shape
+        keys = jax.random.split(key, K)
+
+        def body(carry, xs):
+            p, s = carry
+            k, x, c = xs
+            p, s, loss = one_step(p, s, k, x, c, uncond)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (keys, latents, conditions))
+        return params, opt_state, losses
+
+    return init_fn, multi_step_fn
 
 
 def train_diffusion_model(
@@ -180,10 +212,11 @@ def train_diffusion_model(
             key, jnp.asarray(data0), jnp.zeros(data0.shape[0], jnp.int32),
             jnp.asarray(cond0),
         )
+    K = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
     init_fn, step_fn = make_diffusion_train_step(
         unet, timesteps=cfg.timesteps, loss_type=cfg.loss_type,
         uncondition_rate=cfg.uncondition_rate, lr=cfg.lr,
-        ema_decay=cfg.ema_decay,
+        ema_decay=cfg.ema_decay, steps_per_dispatch=K,
     )
     params = init_variables
     opt_state = init_fn(params)
@@ -195,24 +228,49 @@ def train_diffusion_model(
         uncond = replicate(uncond, mesh)
 
     key = jax.random.key(seed + 1)
-    losses = []
-    for i in range(cfg.max_iter):
-        data, attrs = next(iterator)
-        cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
-        latents = jnp.asarray(data, jnp.float32)
-        if mesh is not None:
-            latents = shard_batch(np.asarray(latents), mesh)
-            cond = shard_batch(np.asarray(cond), mesh)
+    # MetricWindow: losses stay on device — float(loss) here would block
+    # on every step and serialize the loop with the dispatch round trip
+    # (the config-5 "wall >> device time" gap; see train/logging.py).
+    losses = MetricWindow(max(100, cfg.save_steps) // K + 1)
+
+    def crossed(step: int, every: int) -> bool:
+        """Did [step-K, step] cross a multiple of `every`? (log/checkpoint
+        cadence is kept in optimizer steps whatever K is)."""
+        return step // every != (step - K) // every
+
+    step = 0
+    while step < cfg.max_iter:
+        if K == 1:
+            data, attrs = next(iterator)
+            latents = jnp.asarray(data, jnp.float32)
+            cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
+            if mesh is not None:
+                latents = shard_batch(np.asarray(latents), mesh)
+                cond = shard_batch(np.asarray(cond), mesh)
+        else:
+            datas, conds = [], []
+            for _ in range(K):
+                data, attrs = next(iterator)
+                datas.append(np.asarray(data, np.float32))
+                conds.append(np.asarray(condition_lookup(attrs), np.float32))
+            latents = np.stack(datas)
+            cond = np.stack(conds)
+            if mesh is not None:
+                latents = shard_stacked_batch(latents, mesh)
+                cond = shard_stacked_batch(cond, mesh)
+            else:
+                latents = jnp.asarray(latents)
+                cond = jnp.asarray(cond)
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(
             params, opt_state, sub, latents, cond, uncond
         )
-        losses.append(float(loss))
-        step = i + 1
-        if step % 100 == 0:
-            logger.log("loss_100", float(np.mean(losses[-100:])), step)
-        if checkpointer and step % cfg.save_steps == 0:
-            current = float(np.mean(losses[-cfg.save_steps:]))
+        losses.append(loss)   # scalar (K=1) or (K,) vector — both fine
+        step += K
+        if crossed(step, 100):
+            logger.log("loss_100", losses.mean(max(1, 100 // K)), step)
+        if checkpointer and crossed(step, cfg.save_steps):
+            current = losses.mean(max(1, cfg.save_steps // K))
             checkpointer.save(cfg.model_name, "UNet",
                               {"variables": params, "step": step})
             if cfg.ema_decay:
@@ -231,7 +289,7 @@ def train_diffusion_model(
                 {**unet_config.__dict__, "BATCH_SIZE": cfg.batch_size,
                  "lr": cfg.lr, "current_iter": step, "current_loss": current},
             )
-        if eval_fn and step % eval_every == 0:
+        if eval_fn and crossed(step, eval_every):
             metric = eval_fn(params, step)
             logger.log("inception_score", float(metric), step)
             if checkpointer:

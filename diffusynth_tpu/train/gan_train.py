@@ -19,7 +19,7 @@ from diffusynth_tpu.nn.gan import GANDiscriminator
 from diffusynth_tpu.nn.unet import ConditionedUnet
 from diffusynth_tpu.parallel.mesh import replicate, shard_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
-from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 from diffusynth_tpu.train.vqgan_train import bce_with_logits
 
 
@@ -111,7 +111,8 @@ def train_gan(
         g_opt_state = replicate(g_opt_state, mesh)
         d_opt_state = replicate(d_opt_state, mesh)
 
-    hist = []
+    # MetricWindow: no per-step device sync (see train/logging.py).
+    hist = MetricWindow(cfg.save_steps)
     for i in range(cfg.max_iter):
         data, attrs = next(iterator)
         cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
@@ -123,11 +124,10 @@ def train_gan(
         g_params, d_params, g_opt_state, d_opt_state, metrics = step_fn(
             g_params, d_params, g_opt_state, d_opt_state, sub, real, cond
         )
-        hist.append({k: float(v) for k, v in metrics.items()})
+        hist.append(metrics)
         step = i + 1
         if step % cfg.save_steps == 0:
-            means = {k: float(np.mean([h[k] for h in hist[-cfg.save_steps:]]))
-                     for k in hist[0]}
+            means = hist.mean_dict(cfg.save_steps)
             for k, v in means.items():
                 logger.log(k, v, step)
             if checkpointer:

@@ -120,6 +120,11 @@ def main(argv=None):
                              "vqgan/diffusion/gan (params stay float32; "
                              "default bfloat16, the TPU-native choice; "
                              "float32 matches the reference numerics)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=None,
+                        help="optimizer steps per jitted dispatch (vqgan/"
+                             "diffusion; lax.scan over K stacked batches — "
+                             "amortizes per-call overhead on dispatch-bound "
+                             "environments, docs/TRAINING.md)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -155,6 +160,8 @@ def main(argv=None):
             cfg = cfg.replace(batch_size=args.batch_size)
         if args.compute_dtype is not None:
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
+        if args.steps_per_dispatch is not None:
+            cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_vqgan(app.vqgan, cfg, it, checkpointer=ckpt, mesh=mesh,
                     seed=args.seed)
@@ -168,6 +175,8 @@ def main(argv=None):
             cfg = cfg.replace(ema_decay=args.ema_decay)
         if args.compute_dtype is not None:
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
+        if args.steps_per_dispatch is not None:
+            cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         uncond = np.zeros(app.unet.label_emb_dim, np.float32)
         train_diffusion_model(app.unet, cfg, it, lookup, uncond,

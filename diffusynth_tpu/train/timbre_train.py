@@ -18,7 +18,7 @@ from diffusynth_tpu.configs import TimbreEncoderConfig, TimbreTrainConfig
 from diffusynth_tpu.nn.timbre import TimbreEncoder
 from diffusynth_tpu.parallel.mesh import replicate, shard_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
-from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
 
 def _nll(log_probs, labels):
@@ -104,7 +104,9 @@ def train_timbre_encoder(
         opt_state = replicate(opt_state, mesh)
 
     best = float("inf")
-    losses, acc_hist = [], []
+    # MetricWindow: no per-step device sync (see train/logging.py).
+    losses = MetricWindow(cfg.save_steps)
+    acc_hist = MetricWindow(cfg.save_steps)
     for i in range(cfg.max_iter):
         data, attrs = next(iterator)
         inst, fam, vel, qual = batch_labels(attrs)
@@ -119,15 +121,14 @@ def train_timbre_encoder(
             params, opt_state, latents, jnp.asarray(inst), jnp.asarray(fam),
             jnp.asarray(vel), jnp.asarray(qual),
         )
-        losses.append(float(loss))
-        acc_hist.append({k: float(v) for k, v in accs.items()})
+        losses.append(loss)
+        acc_hist.append(accs)
         step = i + 1
         if step % cfg.save_steps == 0:
-            current = float(np.mean(losses[-cfg.save_steps:]))
+            current = losses.mean(cfg.save_steps)
             logger.log("train_loss", current, step)
-            for k in acc_hist[0]:
-                logger.log(k, float(np.mean(
-                    [h[k] for h in acc_hist[-cfg.save_steps:]])), step)
+            for k, v in acc_hist.mean_dict(cfg.save_steps).items():
+                logger.log(k, v, step)
             if checkpointer and current < best:
                 best = current
                 checkpointer.save(cfg.model_name, "timbre_encoder",

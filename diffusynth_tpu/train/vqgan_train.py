@@ -24,9 +24,9 @@ import optax
 
 from diffusynth_tpu.configs import VQGANConfig, VQGANTrainConfig
 from diffusynth_tpu.nn.vqgan import VQGAN, VQGANDiscriminator
-from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch, shard_stacked_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
-from diffusynth_tpu.train.logging import MetricLogger
+from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
 
 def reconstruction_loss(y_pred, y_true, w1=1.0, w2=1.0, epsilon=1e-3):
@@ -50,12 +50,19 @@ def make_vqgan_train_step(
     train_config: VQGANTrainConfig,
     g_optimizer: Optional[optax.GradientTransformation] = None,
     d_optimizer: Optional[optax.GradientTransformation] = None,
+    steps_per_dispatch: int = 1,
 ):
     """Returns step(g_vars, d_params, g_opt, d_opt, data) -> (..., metrics).
 
     g_vars = {"params": ..., "vq": ...}; the EMA codebook updates once per
     iteration in the no-grad forward, exactly like the reference's single
     training-mode forward (VQGAN.py:685).
+
+    steps_per_dispatch=K > 1: data is (K, B, H, W, C) — K alternating D/G
+    iterations lax.scan inside ONE jitted dispatch, metrics become (K,)
+    vectors. Same rationale as make_diffusion_train_step: per-call
+    marshaling of the four donated pytrees dominates wall time on
+    dispatch-expensive environments (RESULTS_r2.md config-5).
     """
     cfg = train_config
     g_opt = g_optimizer or optax.adam(cfg.lr)
@@ -64,8 +71,7 @@ def make_vqgan_train_step(
     def init_fn(g_vars, d_params):
         return g_opt.init(g_vars["params"]), d_opt.init(d_params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def step_fn(g_vars, d_params, g_opt_state, d_opt_state, data):
+    def one_step(g_vars, d_params, g_opt_state, d_opt_state, data):
         # 1) Generator forward in train mode: EMA codebook update + recon
         #    for the discriminator step (no generator grads here).
         (vq_loss_ng, recon_ng, aux), vq_mutated = vqgan.apply(
@@ -119,7 +125,25 @@ def make_vqgan_train_step(
         }
         return g_vars, d_params, g_opt_state, d_opt_state, metrics
 
-    return init_fn, step_fn
+    if steps_per_dispatch == 1:
+        return init_fn, jax.jit(one_step, donate_argnums=(0, 1, 2, 3))
+
+    K = int(steps_per_dispatch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def multi_step_fn(g_vars, d_params, g_opt_state, d_opt_state, data):
+        assert data.ndim == 5 and data.shape[0] == K, data.shape
+
+        def body(carry, x):
+            gv, dp, gs, ds = carry
+            gv, dp, gs, ds, metrics = one_step(gv, dp, gs, ds, x)
+            return (gv, dp, gs, ds), metrics
+
+        (g_vars, d_params, g_opt_state, d_opt_state), metrics = jax.lax.scan(
+            body, (g_vars, d_params, g_opt_state, d_opt_state), data)
+        return g_vars, d_params, g_opt_state, d_opt_state, metrics
+
+    return init_fn, multi_step_fn
 
 
 def train_vqgan(
@@ -153,7 +177,9 @@ def train_vqgan(
     g_vars = init_g_vars or jax.jit(vqgan.init)(k1, data0)
     d_params = init_d_params or jax.jit(disc.init)(k2, data0)
 
-    init_fn, step_fn = make_vqgan_train_step(vqgan, disc, cfg)
+    K = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    init_fn, step_fn = make_vqgan_train_step(vqgan, disc, cfg,
+                                             steps_per_dispatch=K)
     g_opt_state, d_opt_state = init_fn(g_vars, d_params)
 
     if mesh is not None:
@@ -163,21 +189,29 @@ def train_vqgan(
         d_opt_state = replicate(d_opt_state, mesh)
 
     best = float("inf")
-    history = []
-    for i in range(cfg.max_iter):
-        data, _ = next(iterator)
-        data = jnp.asarray(data, jnp.float32)
-        if mesh is not None:
-            data = shard_batch(np.asarray(data), mesh)
+    # MetricWindow: metrics stay on device until the window means are
+    # needed — float(v) per step would serialize the loop with the
+    # dispatch round trip (see train/logging.py).
+    history = MetricWindow(cfg.save_steps // K + 1)
+    step = 0
+    while step < cfg.max_iter:
+        if K == 1:
+            data, _ = next(iterator)
+            data = jnp.asarray(data, jnp.float32)
+            if mesh is not None:
+                data = shard_batch(np.asarray(data), mesh)
+        else:
+            data = np.stack([np.asarray(next(iterator)[0], np.float32)
+                             for _ in range(K)])
+            data = (shard_stacked_batch(data, mesh) if mesh is not None
+                    else jnp.asarray(data))
         g_vars, d_params, g_opt_state, d_opt_state, metrics = step_fn(
             g_vars, d_params, g_opt_state, d_opt_state, data
         )
-        history.append({k: float(v) for k, v in metrics.items()})
-        step = i + 1
-        if step % cfg.save_steps == 0:
-            window = history[-cfg.save_steps:]
-            means = {k: float(np.mean([h[k] for h in window]))
-                     for k in window[0]}
+        history.append(metrics)   # scalars (K=1) or (K,) vectors
+        step += K
+        if step // cfg.save_steps != (step - K) // cfg.save_steps:
+            means = history.mean_dict(max(1, cfg.save_steps // K))
             for k, v in means.items():
                 logger.log(k, v, step)
             if checkpointer and means["g_loss"] < best:

@@ -68,6 +68,80 @@ class TestDiffusionTrainStep:
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_multi_step_dispatch_matches_sequential(self):
+        """steps_per_dispatch=K (one lax.scan dispatch carrying K optimizer
+        steps — amortizes per-call pytree marshaling, RESULTS_r2.md
+        config-5) computes EXACTLY K sequential step_fn calls when the
+        sequential loop uses the same split subkeys."""
+        unet = ConditionedUnet(SMALL_UNET)
+        rng = np.random.default_rng(3)
+        K = 3
+        latents = jnp.asarray(rng.standard_normal((K, 2, 8, 8, 4)),
+                              jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((K, 2, 16)), jnp.float32)
+        uncond = jnp.zeros(16)
+        params0 = unet.init(jax.random.key(0), latents[0],
+                            jnp.zeros(2, jnp.int32), cond[0])
+
+        # SGD: Adam's m/(sqrt(v)+eps) amplifies float-reassociation noise
+        # (scan-compiled vs eager steps) into lr-scale param differences;
+        # with a smooth optimizer grads==grads => params==params.
+        import optax
+        init1, step1 = make_diffusion_train_step(
+            unet, timesteps=50, optimizer=optax.sgd(1e-2))
+        initk, stepk = make_diffusion_train_step(
+            unet, timesteps=50, optimizer=optax.sgd(1e-2),
+            steps_per_dispatch=K)
+        key = jax.random.key(7)
+
+        p = jax.tree_util.tree_map(jnp.copy, params0)
+        s = init1(p)
+        seq_losses = []
+        for i, sub in enumerate(jax.random.split(key, K)):
+            p, s, loss = step1(p, s, sub, latents[i], cond[i], uncond)
+            seq_losses.append(float(loss))
+
+        pk = jax.tree_util.tree_map(jnp.copy, params0)
+        sk = initk(pk)
+        pk, sk, losses = stepk(pk, sk, key, latents, cond, uncond)
+        assert losses.shape == (K,)
+        np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_multi_step_dispatch_loop(self, tmp_path):
+        """train_diffusion_model with cfg.steps_per_dispatch > 1 keeps the
+        log/checkpoint cadence (boundary-crossing checks) and returns
+        finite params."""
+        from diffusynth_tpu.train.checkpoints import Checkpointer
+        from diffusynth_tpu.train.logging import MetricLogger
+
+        ds = SyntheticNSynthDataset(n=16, shape=(8, 8, 4))
+
+        def cond_lookup(attrs):
+            return np.stack([
+                np.full(16, a["instrument"] / 8.0, np.float32) for a in attrs
+            ])
+
+        it = data_iterator(ds, batch_size=2, seed=0)
+        cfg = DiffusionTrainConfig(batch_size=2, max_iter=8, save_steps=4,
+                                   timesteps=50, steps_per_dispatch=4,
+                                   model_name="t_msd",
+                                   compute_dtype="float32")
+        ckpt = Checkpointer(str(tmp_path / "models"))
+        params, _ = train_diffusion_model(
+            SMALL_UNET, cfg, it, cond_lookup, np.zeros(16, np.float32),
+            checkpointer=ckpt,
+            logger=MetricLogger(str(tmp_path), use_tensorboard=False),
+        )
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert bool(jnp.isfinite(leaf).all())
+        # checkpoint cadence crossed save_steps=4 twice within 8 steps
+        assert ckpt.exists("t_msd", "UNet")
+
     def test_compute_dtype_float32_loop(self, tmp_path):
         """compute_dtype="float32" (the reference-numerics opt-out of the
         bf16 default) drives the loop with an f32-compute module; params
@@ -227,6 +301,51 @@ class TestVQGANTrainStep:
         assert last["g_loss"] < first["g_loss"]
         assert np.isfinite(last["d_loss"])
         assert last["perplexity"] >= 1.0
+
+    def test_multi_step_dispatch_matches_sequential(self):
+        """VQGAN steps_per_dispatch=K == K sequential alternating D/G
+        iterations (same data order; the step is PRNG-free)."""
+        from diffusynth_tpu.nn.vqgan import VQGAN, VQGANDiscriminator
+        from diffusynth_tpu.train.vqgan_train import make_vqgan_train_step
+
+        mc = VQGANConfig(hidden_channels=(8, 16), attn_pos=(),
+                         num_embeddings=16, num_groups=4)
+        tc = VQGANTrainConfig(lr=2e-3, d_lr=1e-3)
+        vqgan, disc = VQGAN(mc), VQGANDiscriminator()
+        rng = np.random.default_rng(5)
+        K = 2
+        data = jnp.asarray(np.abs(rng.standard_normal((K, 2, 32, 16, 3))),
+                           jnp.float32)
+        g0 = vqgan.init(jax.random.key(0), data[0])
+        d0 = disc.init(jax.random.key(1), data[0])
+
+        import optax
+        sgd = dict(g_optimizer=optax.sgd(1e-2), d_optimizer=optax.sgd(1e-2))
+        init1, step1 = make_vqgan_train_step(vqgan, disc, tc, **sgd)
+        gv = jax.tree_util.tree_map(jnp.copy, g0)
+        dp = jax.tree_util.tree_map(jnp.copy, d0)
+        gs, ds = init1(gv, dp)
+        seq = []
+        for i in range(K):
+            gv, dp, gs, ds, m = step1(gv, dp, gs, ds, data[i])
+            seq.append({k: float(v) for k, v in m.items()})
+
+        initk, stepk = make_vqgan_train_step(vqgan, disc, tc,
+                                             steps_per_dispatch=K, **sgd)
+        gvk = jax.tree_util.tree_map(jnp.copy, g0)
+        dpk = jax.tree_util.tree_map(jnp.copy, d0)
+        gsk, dsk = initk(gvk, dpk)
+        gvk, dpk, gsk, dsk, mk = stepk(gvk, dpk, gsk, dsk, data)
+        for k in mk:
+            np.testing.assert_allclose(
+                np.asarray(mk[k]), [s[k] for s in seq], rtol=1e-5, atol=1e-6)
+        # Params: scan-compiled vs eager steps reassociate f32 math through
+        # a deep net; the per-step metric equality above already pins the
+        # semantics (step-2 metrics depend on step-1 params). Allow fp noise.
+        for a, b in zip(jax.tree_util.tree_leaves(gv),
+                        jax.tree_util.tree_leaves(gvk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-4)
 
     def test_compute_dtype_bf16_keeps_f32_params(self, tmp_path):
         """train_vqgan with the default bfloat16 compute dtype: params and
