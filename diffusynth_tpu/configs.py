@@ -226,6 +226,8 @@ class TimbreTrainConfig(_JsonMixin):
     max_iter: int = 30_000
     save_steps: int = 500
     model_name: str = "timbre_encoder"
+    # See DiffusionTrainConfig.steps_per_dispatch.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
@@ -240,6 +242,8 @@ class ContrastiveTrainConfig(_JsonMixin):
     max_iter: int = 30_000
     save_steps: int = 2_000
     model_name: str = "mmm"
+    # See DiffusionTrainConfig.steps_per_dispatch.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
@@ -252,6 +256,8 @@ class GANTrainConfig(_JsonMixin):
     model_name: str = "gan"
     # See VQGANTrainConfig.compute_dtype.
     compute_dtype: str = "bfloat16"
+    # See DiffusionTrainConfig.steps_per_dispatch.
+    steps_per_dispatch: int = 1
 
 
 # ---------------------------------------------------------------------------

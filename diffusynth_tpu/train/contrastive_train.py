@@ -34,7 +34,7 @@ from diffusynth_tpu.configs import (
 )
 from diffusynth_tpu.dsp.utils import create_key
 from diffusynth_tpu.nn.multimodal import MultiModalModel
-from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch, shard_stacked_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
 from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
@@ -54,7 +54,11 @@ def make_contrastive_train_step(
     model: MultiModalModel,
     train_config: ContrastiveTrainConfig,
     freeze_timbre: bool = False,
+    steps_per_dispatch: int = 1,
 ):
+    """steps_per_dispatch=K > 1: latents/text_features gain a leading (K,)
+    axis, K optimizer steps lax.scan inside one dispatch (loss becomes a
+    (K,) vector) — see DiffusionTrainConfig.steps_per_dispatch."""
     cfg = train_config
     timbre_tx = (
         optax.set_to_zero() if freeze_timbre
@@ -73,8 +77,7 @@ def make_contrastive_train_step(
     def init_fn(params):
         return optimizer.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, key, latents, text_features):
+    def one_step(params, opt_state, key, latents, text_features):
         def loss_fn(p):
             return model.apply(p, latents, text_features,
                                deterministic=False, rngs={"dropout": key})
@@ -84,7 +87,26 @@ def make_contrastive_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return init_fn, step_fn
+    if steps_per_dispatch == 1:
+        return init_fn, jax.jit(one_step, donate_argnums=(0, 1))
+
+    K = int(steps_per_dispatch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step_fn(params, opt_state, key, latents, text_features):
+        assert latents.shape[0] == K, latents.shape
+        keys = jax.random.split(key, K)
+
+        def body(carry, xs):
+            p, s = carry
+            p, s, loss = one_step(p, s, *xs)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (keys, latents, text_features))
+        return params, opt_state, losses
+
+    return init_fn, multi_step_fn
 
 
 def train_multimodal(
@@ -120,8 +142,10 @@ def train_multimodal(
     params = init_params or jax.jit(model.init)(
         jax.random.key(seed), jnp.asarray(data0), jnp.asarray(tf0)
     )
+    K = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
     init_fn, step_fn = make_contrastive_train_step(
-        model, cfg, freeze_timbre=mmm_config.freeze_spectrogram_encoder
+        model, cfg, freeze_timbre=mmm_config.freeze_spectrogram_encoder,
+        steps_per_dispatch=K,
     )
     opt_state = init_fn(params)
     if mesh is not None:
@@ -131,20 +155,26 @@ def train_multimodal(
     key = jax.random.key(seed + 1)
     best = float("inf")
     # MetricWindow: no per-step device sync (see train/logging.py).
-    losses = MetricWindow(cfg.save_steps)
-    for i in range(cfg.max_iter):
-        data, attrs = next_unique_batch()
-        tf = jnp.asarray(text_features_lookup(attrs), jnp.float32)
-        latents = jnp.asarray(data, jnp.float32)
+    losses = MetricWindow(cfg.save_steps // K + 1)
+    step = 0
+    while step < cfg.max_iter:
+        draws = [next_unique_batch() for _ in range(K)]
+        latents = np.stack([np.asarray(d, np.float32) for d, _ in draws])
+        tf = np.stack([np.asarray(text_features_lookup(a), np.float32)
+                       for _, a in draws])
+        if K == 1:
+            latents, tf = latents[0], tf[0]
         if mesh is not None:
-            latents = shard_batch(np.asarray(latents), mesh)
-            tf = shard_batch(np.asarray(tf), mesh)
+            place = shard_stacked_batch if K > 1 else shard_batch
+            latents, tf = place(latents, mesh), place(tf, mesh)
+        else:
+            latents, tf = jnp.asarray(latents), jnp.asarray(tf)
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(params, opt_state, sub, latents, tf)
         losses.append(loss)
-        step = i + 1
-        if step % cfg.save_steps == 0:
-            current = losses.mean(cfg.save_steps)
+        step += K
+        if step // cfg.save_steps != (step - K) // cfg.save_steps:
+            current = losses.mean(max(1, cfg.save_steps // K))
             logger.log("train_total_loss", current, step)
             if checkpointer and current < best:
                 best = current

@@ -17,7 +17,7 @@ import optax
 from diffusynth_tpu.configs import GANTrainConfig, UNetConfig
 from diffusynth_tpu.nn.gan import GANDiscriminator
 from diffusynth_tpu.nn.unet import ConditionedUnet
-from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch, shard_stacked_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
 from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 from diffusynth_tpu.train.vqgan_train import bce_with_logits
@@ -27,10 +27,15 @@ def make_gan_train_steps(
     generator: ConditionedUnet,
     disc: GANDiscriminator,
     train_config: GANTrainConfig,
+    steps_per_dispatch: int = 1,
 ):
     """Returns (init_fn, step_fn). The generator consumes (noise, t=0,
     condition) - the reference calls the U-Net with a zero timestep
-    equivalent single pass (GAN.py:114 generator(noise))."""
+    equivalent single pass (GAN.py:114 generator(noise)).
+
+    steps_per_dispatch=K > 1: real/conditions gain a leading (K,) axis, K
+    alternating D/G iterations lax.scan inside one dispatch (metrics
+    become (K,) vectors) — see DiffusionTrainConfig.steps_per_dispatch."""
     cfg = train_config
     g_opt = optax.adam(cfg.g_lr)
     d_opt = optax.adam(cfg.d_lr)
@@ -38,9 +43,8 @@ def make_gan_train_steps(
     def init_fn(g_params, d_params):
         return g_opt.init(g_params), d_opt.init(d_params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def step_fn(g_params, d_params, g_opt_state, d_opt_state, key, real,
-                conditions):
+    def one_step(g_params, d_params, g_opt_state, d_opt_state, key, real,
+                 conditions):
         B = real.shape[0]
         t0 = jnp.zeros((B,), jnp.int32)
         noise = jax.random.normal(key, real.shape)
@@ -71,7 +75,28 @@ def make_gan_train_steps(
         return (g_params, d_params, g_opt_state, d_opt_state,
                 {"d_loss": d_loss, "g_loss": g_loss})
 
-    return init_fn, step_fn
+    if steps_per_dispatch == 1:
+        return init_fn, jax.jit(one_step, donate_argnums=(0, 1, 2, 3))
+
+    K = int(steps_per_dispatch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def multi_step_fn(g_params, d_params, g_opt_state, d_opt_state, key,
+                      real, conditions):
+        assert real.shape[0] == K, real.shape
+        keys = jax.random.split(key, K)
+
+        def body(carry, xs):
+            gp, dp, gs, ds = carry
+            gp, dp, gs, ds, metrics = one_step(gp, dp, gs, ds, *xs)
+            return (gp, dp, gs, ds), metrics
+
+        (g_params, d_params, g_opt_state, d_opt_state), metrics = \
+            jax.lax.scan(body, (g_params, d_params, g_opt_state,
+                                d_opt_state), (keys, real, conditions))
+        return g_params, d_params, g_opt_state, d_opt_state, metrics
+
+    return init_fn, multi_step_fn
 
 
 def train_gan(
@@ -104,7 +129,9 @@ def train_gan(
         k1, data0, jnp.zeros(data0.shape[0], jnp.int32), cond0
     )
     d_params = jax.jit(disc.init)(k2, data0, cond0)
-    init_fn, step_fn = make_gan_train_steps(generator, disc, cfg)
+    K = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    init_fn, step_fn = make_gan_train_steps(generator, disc, cfg,
+                                            steps_per_dispatch=K)
     g_opt_state, d_opt_state = init_fn(g_params, d_params)
     if mesh is not None:
         g_params, d_params = replicate(g_params, mesh), replicate(d_params, mesh)
@@ -112,22 +139,28 @@ def train_gan(
         d_opt_state = replicate(d_opt_state, mesh)
 
     # MetricWindow: no per-step device sync (see train/logging.py).
-    hist = MetricWindow(cfg.save_steps)
-    for i in range(cfg.max_iter):
-        data, attrs = next(iterator)
-        cond = jnp.asarray(condition_lookup(attrs), jnp.float32)
-        real = jnp.asarray(data, jnp.float32)
+    hist = MetricWindow(cfg.save_steps // K + 1)
+    step = 0
+    while step < cfg.max_iter:
+        draws = [next(iterator) for _ in range(K)]
+        real = np.stack([np.asarray(d, np.float32) for d, _ in draws])
+        cond = np.stack([np.asarray(condition_lookup(a), np.float32)
+                         for _, a in draws])
+        if K == 1:
+            real, cond = real[0], cond[0]
         if mesh is not None:
-            real = shard_batch(np.asarray(real), mesh)
-            cond = shard_batch(np.asarray(cond), mesh)
+            place = shard_stacked_batch if K > 1 else shard_batch
+            real, cond = place(real, mesh), place(cond, mesh)
+        else:
+            real, cond = jnp.asarray(real), jnp.asarray(cond)
         key, sub = jax.random.split(key)
         g_params, d_params, g_opt_state, d_opt_state, metrics = step_fn(
             g_params, d_params, g_opt_state, d_opt_state, sub, real, cond
         )
         hist.append(metrics)
-        step = i + 1
-        if step % cfg.save_steps == 0:
-            means = hist.mean_dict(cfg.save_steps)
+        step += K
+        if step // cfg.save_steps != (step - K) // cfg.save_steps:
+            means = hist.mean_dict(max(1, cfg.save_steps // K))
             for k, v in means.items():
                 logger.log(k, v, step)
             if checkpointer:

@@ -121,8 +121,8 @@ def main(argv=None):
                              "default bfloat16, the TPU-native choice; "
                              "float32 matches the reference numerics)")
     parser.add_argument("--steps-per-dispatch", type=int, default=None,
-                        help="optimizer steps per jitted dispatch (vqgan/"
-                             "diffusion; lax.scan over K stacked batches — "
+                        help="optimizer steps per jitted dispatch ("
+                             "lax.scan over K stacked batches — "
                              "amortizes per-call overhead on dispatch-bound "
                              "environments, docs/TRAINING.md)")
     parser.add_argument("--seed", type=int, default=0)
@@ -187,6 +187,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.steps_per_dispatch is not None:
+            cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_timbre_encoder(app.timbre, cfg, it, checkpointer=ckpt,
                              mesh=mesh, seed=args.seed)
@@ -196,6 +198,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.steps_per_dispatch is not None:
+            cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         tf_lookup = (_mapping_lookup(args.captions,
                                      app.multimodal.text_feature_dim,
@@ -212,6 +216,8 @@ def main(argv=None):
             cfg = cfg.replace(batch_size=args.batch_size)
         if args.compute_dtype is not None:
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
+        if args.steps_per_dispatch is not None:
+            cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_gan(app.unet, cfg, it, lookup, checkpointer=ckpt, mesh=mesh,
                   seed=args.seed)

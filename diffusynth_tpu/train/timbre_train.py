@@ -16,7 +16,7 @@ import optax
 
 from diffusynth_tpu.configs import TimbreEncoderConfig, TimbreTrainConfig
 from diffusynth_tpu.nn.timbre import TimbreEncoder
-from diffusynth_tpu.parallel.mesh import replicate, shard_batch
+from diffusynth_tpu.parallel.mesh import replicate, shard_batch, shard_stacked_batch
 from diffusynth_tpu.train.checkpoints import Checkpointer
 from diffusynth_tpu.train.logging import MetricLogger, MetricWindow
 
@@ -36,15 +36,18 @@ def make_timbre_train_step(
     model: TimbreEncoder,
     optimizer: Optional[optax.GradientTransformation] = None,
     lr: float = 1e-3,
+    steps_per_dispatch: int = 1,
 ):
+    """steps_per_dispatch=K > 1: all array args gain a leading (K,) axis
+    and K optimizer steps lax.scan inside one dispatch (loss/accs become
+    (K,) vectors) — see DiffusionTrainConfig.steps_per_dispatch."""
     optimizer = optimizer or optax.adam(lr)
 
     def init_fn(params):
         return optimizer.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, latents, instrument, family, velocity,
-                qualities):
+    def one_step(params, opt_state, latents, instrument, family, velocity,
+                 qualities):
         def loss_fn(p):
             _, inst_lp, fam_lp, vel_lp, qual_p = model.apply(p, latents)
             loss = (_nll(inst_lp, instrument) + _nll(fam_lp, family)
@@ -66,7 +69,27 @@ def make_timbre_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, accs
 
-    return init_fn, step_fn
+    if steps_per_dispatch == 1:
+        return init_fn, jax.jit(one_step, donate_argnums=(0, 1))
+
+    K = int(steps_per_dispatch)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step_fn(params, opt_state, latents, instrument, family,
+                      velocity, qualities):
+        assert latents.shape[0] == K, latents.shape
+
+        def body(carry, xs):
+            p, s = carry
+            p, s, loss, accs = one_step(p, s, *xs)
+            return (p, s), (loss, accs)
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state),
+            (latents, instrument, family, velocity, qualities))
+        return params, opt_state, losses, accs
+
+    return init_fn, multi_step_fn
 
 
 def batch_labels(attributes):
@@ -97,7 +120,9 @@ def train_timbre_encoder(
     data0, _ = next(iterator)
     params = init_params or jax.jit(model.init)(jax.random.key(seed),
                                                 jnp.asarray(data0))
-    init_fn, step_fn = make_timbre_train_step(model, lr=cfg.lr)
+    K = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+    init_fn, step_fn = make_timbre_train_step(model, lr=cfg.lr,
+                                              steps_per_dispatch=K)
     opt_state = init_fn(params)
     if mesh is not None:
         params = replicate(params, mesh)
@@ -105,29 +130,31 @@ def train_timbre_encoder(
 
     best = float("inf")
     # MetricWindow: no per-step device sync (see train/logging.py).
-    losses = MetricWindow(cfg.save_steps)
-    acc_hist = MetricWindow(cfg.save_steps)
-    for i in range(cfg.max_iter):
-        data, attrs = next(iterator)
-        inst, fam, vel, qual = batch_labels(attrs)
-        latents = jnp.asarray(data, jnp.float32)
-        if mesh is not None:
-            latents = shard_batch(np.asarray(latents), mesh)
-            inst = shard_batch(inst, mesh)
-            fam = shard_batch(fam, mesh)
-            vel = shard_batch(vel, mesh)
-            qual = shard_batch(qual, mesh)
+    losses = MetricWindow(cfg.save_steps // K + 1)
+    acc_hist = MetricWindow(cfg.save_steps // K + 1)
+    place = shard_stacked_batch if (mesh is not None and K > 1) else (
+        (lambda x, m: shard_batch(x, m)) if mesh is not None
+        else (lambda x, m: jnp.asarray(x)))
+    step = 0
+    while step < cfg.max_iter:
+        draws = [next(iterator) for _ in range(K)]
+        labels = [batch_labels(attrs) for _, attrs in draws]
+        parts = [np.stack([np.asarray(d, np.float32) for d, _ in draws])] + [
+            np.stack([lab[j] for lab in labels]) for j in range(4)]
+        if K == 1:
+            parts = [p[0] for p in parts]
+        latents, inst, fam, vel, qual = (place(p, mesh) for p in parts)
         params, opt_state, loss, accs = step_fn(
-            params, opt_state, latents, jnp.asarray(inst), jnp.asarray(fam),
-            jnp.asarray(vel), jnp.asarray(qual),
+            params, opt_state, latents, inst, fam, vel, qual,
         )
         losses.append(loss)
         acc_hist.append(accs)
-        step = i + 1
-        if step % cfg.save_steps == 0:
-            current = losses.mean(cfg.save_steps)
+        step += K
+        if step // cfg.save_steps != (step - K) // cfg.save_steps:
+            current = losses.mean(max(1, cfg.save_steps // K))
             logger.log("train_loss", current, step)
-            for k, v in acc_hist.mean_dict(cfg.save_steps).items():
+            for k, v in acc_hist.mean_dict(
+                    max(1, cfg.save_steps // K)).items():
                 logger.log(k, v, step)
             if checkpointer and current < best:
                 best = current

@@ -391,6 +391,56 @@ class TestVQGANTrainStep:
         assert not np.allclose(before, after)
 
 
+class TestMultiStepLoops:
+    def test_timbre_contrastive_gan_loops_at_k2(self, tmp_path):
+        """The three remaining train loops run at steps_per_dispatch=2
+        (stacked batches, (K,)-vector metrics, boundary-crossing cadence)
+        and return finite params."""
+        from diffusynth_tpu.configs import (
+            ContrastiveTrainConfig,
+            GANTrainConfig,
+            MultiModalConfig,
+            TimbreTrainConfig,
+        )
+        from diffusynth_tpu.train.contrastive_train import train_multimodal
+        from diffusynth_tpu.train.gan_train import train_gan
+        from diffusynth_tpu.train.logging import MetricLogger
+        from diffusynth_tpu.train.timbre_train import train_timbre_encoder
+
+        ds = SyntheticNSynthDataset(n=16, shape=(8, 8, 4), n_instruments=8)
+        logger = lambda: MetricLogger(str(tmp_path), use_tensorboard=False)  # noqa: E731
+
+        tc = TimbreTrainConfig(max_iter=4, save_steps=2,
+                               steps_per_dispatch=2, model_name="t_tk2")
+        params, _ = train_timbre_encoder(
+            SMALL_TIMBRE, tc, data_iterator(ds, 2, seed=0), logger=logger())
+        assert all(bool(jnp.isfinite(leaf).all())
+                   for leaf in jax.tree_util.tree_leaves(params))
+
+        mcfg = MultiModalConfig(text_feature_dim=8,
+                                spectrogram_feature_dim=16,
+                                multi_modal_emb_dim=8, dropout=0.0)
+        cc = ContrastiveTrainConfig(max_iter=4, save_steps=2,
+                                    steps_per_dispatch=2, model_name="t_ck2")
+        rng = np.random.default_rng(0)
+        lookup = lambda ats: rng.standard_normal(  # noqa: E731
+            (len(ats), 8)).astype(np.float32)
+        params, _ = train_multimodal(
+            mcfg, SMALL_TIMBRE, cc, data_iterator(ds, 2, seed=1), lookup,
+            logger=logger())
+        assert all(bool(jnp.isfinite(leaf).all())
+                   for leaf in jax.tree_util.tree_leaves(params))
+
+        gc = GANTrainConfig(max_iter=4, save_steps=2, steps_per_dispatch=2,
+                            model_name="t_gk2", compute_dtype="float32")
+        glookup = lambda ats: rng.standard_normal(  # noqa: E731
+            (len(ats), 16)).astype(np.float32)
+        g, d = train_gan(SMALL_UNET, gc, data_iterator(ds, 2, seed=2),
+                         glookup, logger=logger())
+        assert all(bool(jnp.isfinite(leaf).all())
+                   for leaf in jax.tree_util.tree_leaves(g))
+
+
 class TestTimbreTrainStep:
     def test_accuracy_improves(self):
         model = TimbreEncoder(SMALL_TIMBRE)
