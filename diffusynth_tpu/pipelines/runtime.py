@@ -103,6 +103,7 @@ class DiffuSynthRuntime:
         unet_name: str = "unet",
         config: Optional[AppConfig] = None,
         use_ema: bool = False,
+        lora_name: Optional[str] = None,
         **kwargs,
     ) -> "DiffuSynthRuntime":
         """Load a runtime from converted orbax checkpoints.
@@ -112,6 +113,10 @@ class DiffuSynthRuntime:
         `python -m diffusynth_tpu.compat.convert_cli`. use_ema=True prefers
         the "UNet_ema" role written by training with ema_decay > 0
         (beyond-reference; falls back to the live weights if absent).
+        lora_name loads a "<lora_name>_UNet_lora" adapter (written by
+        `train.run --lora-rank`, rank/alpha/targets read from its
+        hyperparameter sidecar) and bakes it into the U-Net weights via
+        train.lora.merge_lora — zero inference overhead.
         """
         from diffusynth_tpu.train.checkpoints import Checkpointer
 
@@ -130,6 +135,30 @@ class DiffuSynthRuntime:
                 unet_name, unet_role,
                 {"variables": rt.unet_variables, "step": 0})
             rt.unet_variables = restored["variables"]
+        if lora_name is not None:
+            import json as _json
+            import os as _os
+
+            from diffusynth_tpu.train.lora import init_lora, merge_lora
+
+            if not ckpt.exists(lora_name, "UNet_lora"):
+                raise FileNotFoundError(
+                    f"no {lora_name}_UNet_lora checkpoint in {models_dir}")
+            hp_path = _os.path.join(ckpt.root, "hyperparameters",
+                                    f"{lora_name}_UNet_lora.json")
+            rank, alpha, targets = 8, 16.0, None
+            if _os.path.exists(hp_path):
+                with open(hp_path) as f:
+                    hp = _json.load(f)
+                rank = int(hp.get("rank", rank))
+                alpha = float(hp.get("alpha", alpha))
+                targets = hp.get("targets", None)
+            template = {"variables": init_lora(
+                rt.unet_variables, jax.random.key(0), rank, targets),
+                "step": 0}
+            adapter = ckpt.restore(lora_name, "UNet_lora", template)
+            rt.unet_variables = merge_lora(
+                rt.unet_variables, adapter["variables"], alpha)
         return rt
 
     # -- samplers ------------------------------------------------------------

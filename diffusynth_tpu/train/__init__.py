@@ -18,6 +18,13 @@ from diffusynth_tpu.train.diffusion_train import (
     make_diffusion_train_step,
     train_diffusion_model,
 )
+from diffusynth_tpu.train.lora import (
+    apply_lora,
+    init_lora,
+    make_lora_train_step,
+    merge_lora,
+    train_diffusion_lora,
+)
 from diffusynth_tpu.train.vqgan_train import (
     make_vqgan_train_step,
     train_vqgan,

@@ -125,6 +125,20 @@ def main(argv=None):
                              "lax.scan over K stacked batches — "
                              "amortizes per-call overhead on dispatch-bound "
                              "environments, docs/TRAINING.md)")
+    parser.add_argument("--lora-rank", type=int, default=None,
+                        help="diffusion only: train a rank-r LoRA adapter "
+                             "on frozen base weights instead of full "
+                             "fine-tuning (train/lora.py; checkpointed as "
+                             "role UNet_lora)")
+    parser.add_argument("--lora-alpha", type=float, default=16.0)
+    parser.add_argument("--lora-targets", default=None,
+                        help="comma-separated path substrings to adapt "
+                             "(e.g. 'to_qkv,to_out'); default = every Dense/Conv "
+                             "kernel")
+    parser.add_argument("--lora-base", default=None,
+                        help="checkpoint NAME whose UNet role supplies "
+                             "the frozen base weights (default: --name; "
+                             "random init with a warning if absent)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -179,8 +193,40 @@ def main(argv=None):
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         uncond = np.zeros(app.unet.label_emb_dim, np.float32)
-        train_diffusion_model(app.unet, cfg, it, lookup, uncond,
-                              checkpointer=ckpt, mesh=mesh, seed=args.seed)
+        if args.lora_rank:
+            import jax
+            import jax.numpy as jnp
+
+            from diffusynth_tpu.nn.unet import ConditionedUnet
+            from diffusynth_tpu.train import train_diffusion_lora
+
+            unet_mod = ConditionedUnet(app.unet)
+            data0, attrs0 = next(it)
+            template = jax.jit(unet_mod.init)(
+                jax.random.key(args.seed), jnp.asarray(data0),
+                jnp.zeros(data0.shape[0], jnp.int32),
+                jnp.asarray(lookup(attrs0)))
+            base_name = args.lora_base or cfg.model_name
+            if ckpt.exists(base_name, "UNet"):
+                base = ckpt.restore(base_name, "UNet",
+                                    {"variables": template, "step": 0}
+                                    )["variables"]
+            else:
+                print(f"# no {base_name}_UNet checkpoint in "
+                      f"{args.models_dir}; LoRA over RANDOM base weights "
+                      f"(smoke-test mode)")
+                base = template
+            targets = (args.lora_targets.split(",")
+                       if args.lora_targets else None)
+            train_diffusion_lora(
+                app.unet, cfg, it, lookup, uncond, base,
+                rank=args.lora_rank, alpha=args.lora_alpha,
+                targets=targets, checkpointer=ckpt, mesh=mesh,
+                seed=args.seed)
+        else:
+            train_diffusion_model(app.unet, cfg, it, lookup, uncond,
+                                  checkpointer=ckpt, mesh=mesh,
+                                  seed=args.seed)
     elif args.model == "timbre":
         cfg = TimbreTrainConfig(model_name=args.name or "timbre_encoder")
         if args.max_iter is not None:

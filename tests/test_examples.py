@@ -69,3 +69,11 @@ def test_multichip_example(tmp_path):
                "--out", str(tmp_path))
     assert "8 devices" in out
     assert (tmp_path / "multichip_7.wav").exists()
+
+
+def test_finetune_lora_example(tmp_path):
+    out = _run("finetune_lora.py", "--iters", "6", "--out", str(tmp_path))
+    assert "adapter:" in out and "adapter loss" in out
+    assert "baked-in weight delta max" in out
+    assert (tmp_path / "finetune_lora_0.wav").exists()
+    assert (tmp_path / "models" / "unet_ft_UNet_lora").exists()

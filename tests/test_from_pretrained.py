@@ -104,3 +104,37 @@ def test_from_pretrained_ema(tmp_path):
     np.testing.assert_allclose(np.asarray(e0), np.asarray(l0) + 1.0,
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(v0), np.asarray(l0), atol=1e-7)
+
+
+def test_from_pretrained_lora(tmp_path):
+    """lora_name bakes a saved UNet_lora adapter into the loaded U-Net:
+    equals merge_lora(base, adapter) exactly; missing adapter raises."""
+    from diffusynth_tpu.train.lora import init_lora, merge_lora
+
+    cfg = tiny_config()
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt1 = DiffuSynthRuntime(cfg, text_encoder=enc, seed=3)
+
+    models_dir = str(tmp_path / "models_jax")
+    ckpt = Checkpointer(models_dir)
+    ckpt.save("unet", "UNet", {"variables": rt1.unet_variables, "step": 9})
+
+    with pytest.raises(FileNotFoundError):
+        DiffuSynthRuntime.from_pretrained(
+            models_dir, config=cfg, text_encoder=enc, seed=99,
+            lora_name="ft")
+
+    adapter = init_lora(rt1.unet_variables, jax.random.key(5), rank=2)
+    adapter = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.ones_like(x), adapter)
+    ckpt.save("ft", "UNet_lora", {"variables": adapter, "step": 4})
+    ckpt.save_hyperparameters("ft", "UNet_lora",
+                              {"rank": 2, "alpha": 8.0, "targets": None})
+
+    rt2 = DiffuSynthRuntime.from_pretrained(
+        models_dir, config=cfg, text_encoder=enc, seed=99, lora_name="ft")
+    want = merge_lora(rt1.unet_variables, adapter, 8.0)
+    w0 = jax.tree_util.tree_leaves(want)
+    g0 = jax.tree_util.tree_leaves(rt2.unet_variables)
+    for w, g in zip(w0, g0):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-7)

@@ -1,0 +1,163 @@
+"""LoRA adapter tests (beyond-reference; train/lora.py).
+
+All on the tiny U-Net, CPU. Pins the contract: zero-init B means the
+adapted model IS the base model; training moves only the adapter;
+merge_lora equals on-the-fly application; the adapter checkpoint
+round-trips and is small.
+"""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusynth_tpu.configs import DiffusionTrainConfig, UNetConfig
+from diffusynth_tpu.nn.unet import ConditionedUnet
+from diffusynth_tpu.train import Checkpointer
+from diffusynth_tpu.train.lora import (
+    apply_lora,
+    init_lora,
+    lora_num_params,
+    make_lora_train_step,
+    merge_lora,
+    train_diffusion_lora,
+)
+
+SMALL_UNET = UNetConfig(down_dims=(8, 8, 16, 32), up_dims=(32, 32, 16, 8),
+                        label_emb_dim=16)
+
+
+@pytest.fixture(scope="module")
+def base():
+    unet = ConditionedUnet(SMALL_UNET)
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((4, 8, 8, 4)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    params = unet.init(jax.random.key(0), latents,
+                       jnp.zeros(4, jnp.int32), cond)
+    return unet, params, latents, cond
+
+
+def test_zero_init_is_identity(base):
+    unet, params, latents, cond = base
+    lora = init_lora(params, jax.random.key(1), rank=4)
+    merged = apply_lora(params, lora)
+    t = jnp.zeros(4, jnp.int32)
+    chex.assert_trees_all_close(
+        unet.apply(merged, latents, t, cond),
+        unet.apply(params, latents, t, cond), atol=0, rtol=0)
+
+
+def test_adapter_is_small_and_targeted(base):
+    _, params, _, _ = base
+    lora = init_lora(params, jax.random.key(1), rank=4)
+    n_base = sum(int(np.prod(x.shape))
+                 for x in jax.tree_util.tree_leaves(params))
+    assert lora_num_params(lora) < 0.35 * n_base
+    # Attention-only adaptation: the projections are named to_qkv /
+    # to_out_* / label_* (names mirror the torch state_dict, CLAUDE.md).
+    only_attn = init_lora(params, jax.random.key(1), rank=4,
+                          targets=["to_qkv", "to_out"])
+    assert 0 < len(only_attn) < len(lora)
+    assert all("to_qkv" in k or "to_out" in k for k in only_attn)
+
+
+def test_train_moves_only_adapter_and_loss_decreases(base):
+    unet, params, latents, cond = base
+    lora = init_lora(params, jax.random.key(1), rank=4)
+    init_fn, step_fn = make_lora_train_step(unet, timesteps=50, lr=2e-3)
+    opt_state = init_fn(lora)
+    uncond = jnp.zeros(16)
+    first = last = None
+    for i in range(30):
+        lora, opt_state, loss = step_fn(
+            params, lora, opt_state, jax.random.key(100 + i),
+            latents, cond, uncond)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < first
+    # The base params were never touched (read-only argument).
+    b = jax.tree_util.tree_leaves(params)[0]
+    assert np.all(np.isfinite(np.asarray(b)))
+    # And the adapter now differs from the base model.
+    merged = merge_lora(params, lora)
+    t = jnp.zeros(4, jnp.int32)
+    out_m = unet.apply(merged, latents, t, cond)
+    out_b = unet.apply(params, latents, t, cond)
+    assert float(jnp.max(jnp.abs(out_m - out_b))) > 1e-6
+
+
+def test_merge_equals_on_the_fly(base):
+    unet, params, latents, cond = base
+    lora = init_lora(params, jax.random.key(2), rank=4)
+    # Give B nonzero values so the merge is nontrivial.
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.ones_like(x), lora)
+    t = jnp.zeros(4, jnp.int32)
+    chex.assert_trees_all_close(
+        unet.apply(merge_lora(params, lora), latents, t, cond),
+        unet.apply(apply_lora(params, lora), latents, t, cond),
+        atol=1e-6)
+
+
+def test_multi_step_dispatch_matches_sequential(base):
+    unet, params, latents, cond = base
+    uncond = jnp.zeros(16)
+    import optax
+    for K in (1, 2):
+        init_fn, step_fn = make_lora_train_step(
+            unet, timesteps=50, optimizer=optax.sgd(1e-2),
+            steps_per_dispatch=K)
+        lora = init_lora(params, jax.random.key(1), rank=4)
+        opt_state = init_fn(lora)
+        if K == 1:
+            keys = jax.random.split(jax.random.key(7), 2)
+            for k in keys:
+                lora, opt_state, _ = step_fn(
+                    params, lora, opt_state, k, latents, cond, uncond)
+            seq = lora
+        else:
+            stacked = jnp.stack([latents, latents])
+            conds = jnp.stack([cond, cond])
+            lora, opt_state, losses = step_fn(
+                params, lora, opt_state, jax.random.key(7),
+                stacked, conds, uncond)
+            assert losses.shape == (2,)
+            multi = lora
+    # Same key folding as diffusion_train's multi-step: split(key, K)
+    # equals the sequential splits only if we drive them identically, so
+    # compare against a sequential run driven by the same sub-keys.
+    init_fn, step_fn = make_lora_train_step(
+        unet, timesteps=50, optimizer=optax.sgd(1e-2))
+    lora = init_lora(params, jax.random.key(1), rank=4)
+    opt_state = init_fn(lora)
+    for k in jax.random.split(jax.random.key(7), 2):
+        lora, opt_state, _ = step_fn(
+            params, lora, opt_state, k, latents, cond, uncond)
+    chex.assert_trees_all_close(multi, lora, atol=1e-6)
+
+
+def test_loop_checkpoints_adapter(base, tmp_path):
+    _, params, _, _ = base
+    rng = np.random.default_rng(3)
+
+    def it():
+        while True:
+            yield (rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+                   {"instrument_str": ["bass_0", "flute_1"]})
+
+    def lookup(attrs):
+        return rng.standard_normal((2, 16)).astype(np.float32)
+
+    cfg = DiffusionTrainConfig(batch_size=2, max_iter=4, save_steps=2,
+                               timesteps=50, model_name="tiny_lora")
+    ckpt = Checkpointer(str(tmp_path / "models"))
+    lora, _ = train_diffusion_lora(
+        SMALL_UNET, cfg, it(), lookup, np.zeros(16, np.float32),
+        params, rank=4, checkpointer=ckpt)
+    assert ckpt.exists("tiny_lora", "UNet_lora")
+    template = {"variables": init_lora(params, jax.random.key(0), rank=4),
+                "step": 0}
+    restored = ckpt.restore("tiny_lora", "UNet_lora", template)
+    chex.assert_trees_all_close(restored["variables"], lora, atol=0)
