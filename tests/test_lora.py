@@ -161,3 +161,39 @@ def test_loop_checkpoints_adapter(base, tmp_path):
                 "step": 0}
     restored = ckpt.restore("tiny_lora", "UNet_lora", template)
     chex.assert_trees_all_close(restored["variables"], lora, atol=0)
+
+
+def test_lora_step_sharded_matches_single(base):
+    """DP over the 8-virtual-device mesh: the adapter step with a sharded
+    batch + replicated (base, lora, opt) equals the single-device step."""
+    from diffusynth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    unet, params, latents, cond = base
+    assert jax.device_count() == 8
+    lat = np.asarray(jnp.concatenate([latents, latents]))      # batch 8
+    cnd = np.asarray(jnp.concatenate([cond, cond]))
+    uncond = jnp.zeros(16)
+    import optax
+
+    # SGD: the update is linear in the gradient, so the sharded psum's
+    # reduction-order noise stays O(eps) in the params. (Adam divides by
+    # sqrt(v): near-zero-gradient elements amplify that noise to O(lr).)
+    init_fn, step_fn = make_lora_train_step(unet, timesteps=50,
+                                            optimizer=optax.sgd(1e-2),
+                                            uncondition_rate=0.0)
+
+    lora1 = init_lora(params, jax.random.key(1), rank=4)
+    l1, _, loss1 = step_fn(params, lora1, init_fn(lora1), jax.random.key(9),
+                           jnp.asarray(lat), jnp.asarray(cnd), uncond)
+
+    mesh = make_mesh(8)
+    lora2 = init_lora(params, jax.random.key(1), rank=4)
+    l2, _, loss2 = step_fn(
+        replicate(params, mesh), replicate(lora2, mesh),
+        replicate(init_fn(lora2), mesh), jax.random.key(9),
+        shard_batch(lat, mesh), shard_batch(cnd, mesh),
+        replicate(uncond, mesh))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(l1),
+                    jax.tree_util.tree_leaves(l2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
