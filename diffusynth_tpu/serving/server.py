@@ -538,6 +538,32 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
     return server
 
 
+def build_runtime(checkpoint=None, quantize=None, use_ema=False,
+                  lora_name=None, config=None):
+    """Construct the serving runtime from CLI-level options.
+
+    checkpoint: orbax models dir (from compat.convert_cli or train.run) —
+    weights load via DiffuSynthRuntime.from_pretrained (use_ema prefers
+    the UNet_ema role; lora_name bakes a UNet_lora adapter in at load
+    time). None = random weights (smoke/serving-bench mode). quantize
+    ("int8") applies the W8A8 U-Net conv path either way. Returns None
+    when every option is default so make_server builds its own default
+    runtime (keeps the no-args path identical to before).
+    """
+    if not (checkpoint or quantize or use_ema or lora_name):
+        return None
+    import dataclasses
+
+    cfg = config or AppConfig()
+    if quantize:
+        cfg = dataclasses.replace(
+            cfg, unet=dataclasses.replace(cfg.unet, quantize=quantize))
+    if checkpoint:
+        return DiffuSynthRuntime.from_pretrained(
+            checkpoint, config=cfg, use_ema=use_ema, lora_name=lora_name)
+    return DiffuSynthRuntime(cfg)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--host", default="127.0.0.1")
@@ -555,17 +581,21 @@ def main(argv=None):
                         help="W8A8 int8 U-Net convs (ops/quant.py): "
                              "~9%% faster steps; fidelity numbers in "
                              "docs/PARITY_E2E.md")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax models dir with converted/trained "
+                             "weights (compat.convert_cli / train.run "
+                             "output); default: random weights")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="prefer the UNet_ema role from --checkpoint")
+    parser.add_argument("--lora-name", default=None,
+                        help="bake the <name>_UNet_lora adapter from "
+                             "--checkpoint into the U-Net at load time")
     args = parser.parse_args(argv)
     print("initializing models (first TPU compile takes minutes)...",
           flush=True)
-    runtime = None
-    if args.quantize:
-        import dataclasses
-
-        app = AppConfig()
-        app = dataclasses.replace(
-            app, unet=dataclasses.replace(app.unet, quantize=args.quantize))
-        runtime = DiffuSynthRuntime(app)
+    runtime = build_runtime(checkpoint=args.checkpoint,
+                            quantize=args.quantize, use_ema=args.use_ema,
+                            lora_name=args.lora_name)
     server = make_server(args.host, args.port, runtime=runtime,
                          max_batch=args.max_batch,
                          window_ms=args.window_ms,

@@ -471,3 +471,31 @@ class TestServingHardening:
         assert status == 200
         assert {"task": "s2s", "width": 16, "batch": 1} in body["compiled"]
         assert {"task": "inp", "width": 16, "batch": 1} in body["compiled"]
+
+
+def test_build_runtime_from_checkpoint(tmp_path):
+    """The serving CLI's --checkpoint/--use-ema/--lora-name wiring: weights
+    load through from_pretrained; all-defaults returns None (make_server
+    then builds its own default runtime)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusynth_tpu.pipelines import DiffuSynthRuntime
+    from diffusynth_tpu.serving.server import build_runtime
+    from diffusynth_tpu.train.checkpoints import Checkpointer
+
+    assert build_runtime() is None
+
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt1 = DiffuSynthRuntime(tiny_config(), text_encoder=enc, seed=3)
+    models_dir = str(tmp_path / "models")
+    ckpt = Checkpointer(models_dir)
+    ckpt.save("vqgan", "imageVQVAE",
+              {"variables": rt1.vqgan_variables, "step": 1})
+    ckpt.save("unet", "UNet", {"variables": rt1.unet_variables, "step": 1})
+
+    rt2 = build_runtime(checkpoint=models_dir, config=tiny_config())
+    a = jax.tree_util.tree_leaves(rt1.unet_variables)[0]
+    b = jax.tree_util.tree_leaves(rt2.unet_variables)[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
