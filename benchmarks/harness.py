@@ -63,17 +63,20 @@ def bench_text2sound_single(rt):
             "timbres_per_sec": 1.0 / stats["p50"]}
 
 
-def bench_text2sound_batched(rt, cfg_scales=(3.0, 6.0)):
-    """Config 2: batch 64, 50-step DDIM + decode, CFG sweep.
+def bench_text2sound_batched(rt, cfg_scales=(1.0, 3.0, 6.0)):
+    """Config 2: batch 64, 50-step DDIM + decode, CFG sweep — the full
+    range the reference UI exposes (gradio_webUI.py:80-85) including
+    cfg=1.0, the unconditional batch-64 case.
 
-    cfg=1.0 (the unconditional batch-64 step program) is excluded by
-    default: its compile hung the axon remote compiler twice on
-    2026-08-17 (the harness wedged at config 2 both times, and the
-    stuck server-side compile then blocked the device for every later
-    client — same persistence pattern as the r1 scan fault). Re-add it
-    once the signature is isolated (docs/ROADMAP.md #5), e.g.
-    DIFFUSYNTH_HARNESS_CFGS=1.0 to probe exactly that case (probe LAST —
-    a reproduction takes the shared device down; docs/SCAN_FAULT.md)."""
+    cfg=1.0 is safe to include because ops/dispatch.py now fences Mosaic
+    kernels OUT of batch-64 step programs BY DEFAULT — the 2026-08-17
+    remote-compiler wedge was specific to the unconditional b64 step
+    program containing Mosaic attention custom-calls; the XLA
+    formulation the fence selects compiled and ran clean when probed
+    (docs/SCAN_FAULT.md). DIFFUSYNTH_HARNESS_CFGS overrides the sweep;
+    DIFFUSYNTH_BAD_STEP_BATCHES=none + DIFFUSYNTH_HARNESS_CFGS=1.0
+    probes the original Mosaic signature (probe LAST — a reproduction
+    takes the shared device down)."""
     import os
 
     from diffusynth_tpu.pipelines import Text2SoundPipeline

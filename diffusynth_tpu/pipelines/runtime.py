@@ -153,6 +153,17 @@ class DiffuSynthRuntime:
                 rank = int(hp.get("rank", rank))
                 alpha = float(hp.get("alpha", alpha))
                 targets = hp.get("targets", None)
+            else:
+                # A wrong rank surfaces as an opaque orbax shape mismatch
+                # below and a wrong alpha would load silently with wrong
+                # merge scaling — make the defaulting loud.
+                import warnings
+
+                warnings.warn(
+                    f"{hp_path} missing: assuming LoRA rank={rank}, "
+                    f"alpha={alpha}. train_diffusion_lora writes this "
+                    "sidecar; restore will fail on any rank mismatch.",
+                    stacklevel=2)
             template = {"variables": init_lora(
                 rt.unet_variables, jax.random.key(0), rank, targets),
                 "step": 0}

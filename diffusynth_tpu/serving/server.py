@@ -552,6 +552,14 @@ def build_runtime(checkpoint=None, quantize=None, use_ema=False,
     """
     if not (checkpoint or quantize or use_ema or lora_name):
         return None
+    if (use_ema or lora_name) and not checkpoint:
+        # Without --checkpoint there are no trained weights to take the EMA
+        # or adapter from; serving random weights while the operator believes
+        # the fine-tuned model is live would be silent corruption.
+        raise ValueError(
+            "--use-ema/--lora-name require --checkpoint: they select roles "
+            "inside a models dir; without one the server would silently run "
+            "random weights")
     import dataclasses
 
     cfg = config or AppConfig()

@@ -295,8 +295,19 @@ class TestStepBatchFence:
     def test_predicate(self, monkeypatch):
         from diffusynth_tpu.ops import dispatch
 
+        # Default-on for the confirmed wedge signature (batch 64): the
+        # fence must hold with NO environment configuration, so a library
+        # caller cannot compile the bad program accidentally.
         monkeypatch.delenv("DIFFUSYNTH_BAD_STEP_BATCHES", raising=False)
+        assert dispatch.known_bad_step_batch(64)
+        assert not dispatch.known_bad_step_batch(128)
+        assert not dispatch.known_bad_step_batch(96)
+        # Explicit clear for operators on a fixed backend.
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "none")
         assert not dispatch.known_bad_step_batch(64)
+        monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "")
+        assert not dispatch.known_bad_step_batch(64)
+        # Explicit list replaces the default entirely.
         monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "64,96")
         assert dispatch.known_bad_step_batch(64)
         assert dispatch.known_bad_step_batch(96)

@@ -153,9 +153,11 @@ def test_loop_checkpoints_adapter(base, tmp_path):
     cfg = DiffusionTrainConfig(batch_size=2, max_iter=4, save_steps=2,
                                timesteps=50, model_name="tiny_lora")
     ckpt = Checkpointer(str(tmp_path / "models"))
+    from diffusynth_tpu.train.logging import MetricLogger
     lora, _ = train_diffusion_lora(
         SMALL_UNET, cfg, it(), lookup, np.zeros(16, np.float32),
-        params, rank=4, checkpointer=ckpt)
+        params, rank=4, checkpointer=ckpt,
+        logger=MetricLogger(str(tmp_path / "runs"), use_tensorboard=False))
     assert ckpt.exists("tiny_lora", "UNet_lora")
     template = {"variables": init_lora(params, jax.random.key(0), rank=4),
                 "step": 0}
