@@ -24,9 +24,11 @@ import numpy as np
 
 from diffusynth_tpu.configs import AppConfig, DiffusionTrainConfig
 
-TRAIN_ITERS = 400
+TRAIN_ITERS = 800
 BATCH = 4
 STEPS = 50
+CKPT_ROOT = "runs/r3_trained/models"   # reused by the dpmpp-quality and
+CKPT_NAME = "r3"                       # LoRA-learning round-3 tasks
 
 
 def main():
@@ -43,6 +45,8 @@ def main():
     a = app.audio
 
     # --- 1) Train (bf16 compute, the config default) ----------------------
+    from diffusynth_tpu.train.checkpoints import Checkpointer
+
     ds = SyntheticNSynthDataset(
         n=256, shape=(a.latent_height, a.vae_scale * 16, a.channels))
     cfg = DiffusionTrainConfig(max_iter=TRAIN_ITERS, save_steps=10**9,
@@ -57,6 +61,11 @@ def main():
         lookup, uncond, logger=logger, seed=0)
     print(f"trained {TRAIN_ITERS} iters (bf16 compute) in "
           f"{time.time()-t0:.0f}s wall", flush=True)
+    ckpt = Checkpointer(CKPT_ROOT)
+    ckpt.save(CKPT_NAME, "UNet", {"variables": params,
+                                  "step": TRAIN_ITERS})
+    ckpt.save_hyperparameters(CKPT_NAME, "UNet", dataclasses.asdict(app.unet))
+    print(f"checkpoint saved to {CKPT_ROOT}/{CKPT_NAME}_UNet", flush=True)
     import json
     losses = [json.loads(l) for l in open("runs/int8_fidelity/metrics.jsonl")]
     losses = [r for r in losses if r["name"] == "loss_100"]

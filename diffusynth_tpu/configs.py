@@ -319,3 +319,23 @@ def bucket_width(width: int, buckets: Sequence[int] = WIDTH_BUCKETS) -> int:
         if b >= width:
             return b
     return buckets[-1]
+
+
+def tiny_app_config() -> AppConfig:
+    """Miniature geometry for API-learning runs, CPU tests, and CLI
+    smoke round-trips (examples/ and tests/ share it; not a trained
+    configuration)."""
+    return AppConfig(
+        audio=AudioConfig(
+            sample_rate=4000, n_fft=128, hop_length=32, win_length=128,
+            freq_resolution=64, time_resolution=32, vae_scale=4,
+            channels=4, latent_height=16,
+        ),
+        vqgan=VQGANConfig(hidden_channels=(8, 16), attn_pos=(),
+                          num_embeddings=32, num_groups=4),
+        unet=UNetConfig(down_dims=(8, 8, 16, 32), up_dims=(32, 32, 16, 8),
+                        label_emb_dim=16),
+        diffusion=DiffusionConfig(timesteps=50, height=16, channels=4,
+                                  train_width=8, max_width=32),
+        compute_dtype="float32",
+    )

@@ -9,9 +9,11 @@ metric logging.
 """
 
 from diffusynth_tpu.train.data import (
+    NSynthDataloader,
     NSynthDataset,
     SyntheticNSynthDataset,
     data_iterator,
+    get_nsynth_dataloader,
 )
 from diffusynth_tpu.train.checkpoints import Checkpointer
 from diffusynth_tpu.train.diffusion_train import (

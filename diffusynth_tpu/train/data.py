@@ -30,24 +30,51 @@ INSTRUMENT_FAMILIES = (
 class NSynthDataset:
     """HDF5-backed NSynth spectrogram/latent dataset.
 
-    Expected layout (mirroring data/NSynth/nsynth-STFT-train-52.hdf5 usage):
-      * one of datasets "STFT" (N, 3, F, T) / (N, F, T, 3) or
-        "latent" (N, C, H, W) / (N, H, W, C)
-      * label datasets: "instrument", "instrument_family",
-        "instrument_source", "velocity", "qualities" (N, 10)
+    Schema (the reference's nsynth-STFT-*-52.hdf5 contract, reconstructed
+    from its notebooks — the data_generation.nsynth module itself is absent
+    from the reference repo, SURVEY.md section 1):
+
+      * data: "STFT" (N, 3, F, T) or (N, F, T, 3); after
+        create_latent_representation also "latent_representation" and/or
+        "quantized_latent_representation" (N, C, H, W) / (N, H, W, C)
+        (the loader kwargs get_latent_representation /
+        get_quantized_latent_representation in train_timbre_encoder.ipynb
+        cell 3 name these datasets; cell 7 of train-VQGAN.ipynb creates
+        them via NSynthDataset.create_latent_representation(VAE,
+        quantize=False)).
+      * int labels: "instrument", "instrument_family", "instrument_source",
+        "velocity", "pitch" (N,), "qualities" (N, 10) — the official NSynth
+        metadata fields consumed by the training loops
+        (timbre_encoder_pretrain.py:271-274) and by create_key
+        (tools.py:246-252).
+      * string labels (optional; derived from the int fields when absent):
+        "instrument_source_str", "instrument_family_str" — stored as HDF5
+        bytes, exactly the strings create_key concatenates.
+      * optional "timbre_emb" (N, D) for with_timbre_emb loaders.
+
     Data converts to NHWC on read.
     """
 
-    def __init__(self, path: str, task: str = "STFT"):
+    def __init__(self, path: str, task: str = "STFT",
+                 get_latent_representation: bool = False,
+                 get_quantized_latent_representation: bool = False):
         import h5py
 
+        self.path = path
         self._h5 = h5py.File(path, "r")
-        key = "STFT" if task == "STFT" else "latent"
-        if key not in self._h5:
+        if get_quantized_latent_representation:
+            wanted = ["quantized_latent_representation"]
+        elif get_latent_representation or task == "latent":
+            wanted = ["latent_representation", "latent"]
+        else:
+            wanted = ["STFT"]
+        key = next((k for k in wanted if k in self._h5), None)
+        if key is None:
             # tolerate alternate dataset names
             candidates = [k for k in self._h5.keys()
                           if k.lower() in ("stft", "latent", "data")]
-            assert candidates, f"no data key in {path}: {list(self._h5.keys())}"
+            assert candidates, (
+                f"no {wanted} dataset in {path}: {list(self._h5.keys())}")
             key = candidates[0]
         self._data = self._h5[key]
         self._channels_first = self._data.shape[1] in (3, 4) and \
@@ -56,32 +83,165 @@ class NSynthDataset:
     def __len__(self) -> int:
         return len(self._data)
 
+    def _str_field(self, name: str, i: int, table, int_field: str) -> str:
+        """Read a *_str dataset if the file carries one (bytes -> str);
+        otherwise derive from the int field like the synthetic fallback."""
+        if name in self._h5:
+            v = self._h5[name][i]
+            return v.decode() if isinstance(v, bytes) else str(v)
+        idx = int(self._h5[int_field][i]) if int_field in self._h5 else 0
+        return table[idx % len(table)]
+
     def get_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, List[Dict]]:
         indices = np.sort(indices)
         data = self._data[indices].astype(np.float32)
         if self._channels_first:
             data = np.transpose(data, (0, 2, 3, 1))
-        attributes = []
-        for i in indices:
-            qualities = [int(q) for q in self._h5["qualities"][i]] \
-                if "qualities" in self._h5 else [0] * 10
-            src = int(self._h5["instrument_source"][i]) \
-                if "instrument_source" in self._h5 else 0
-            fam = int(self._h5["instrument_family"][i]) \
-                if "instrument_family" in self._h5 else 0
-            attributes.append({
-                "instrument": int(self._h5["instrument"][i])
-                if "instrument" in self._h5 else 0,
-                "instrument_family": fam,
-                "velocity": int(self._h5["velocity"][i])
-                if "velocity" in self._h5 else 0,
-                "qualities": qualities,
-                "instrument_source_str": INSTRUMENT_SOURCES[
-                    src % len(INSTRUMENT_SOURCES)],
-                "instrument_family_str": INSTRUMENT_FAMILIES[
-                    fam % len(INSTRUMENT_FAMILIES)],
-            })
+        attributes = [self.get_attributes(i) for i in indices]
         return data, attributes
+
+    def get_attributes(self, i: int) -> Dict:
+        def geti(name, default=0):
+            return int(self._h5[name][i]) if name in self._h5 else default
+
+        qualities = [int(q) for q in self._h5["qualities"][i]] \
+            if "qualities" in self._h5 else [0] * 10
+        return {
+            "instrument": geti("instrument"),
+            "instrument_family": geti("instrument_family"),
+            "instrument_source": geti("instrument_source"),
+            "velocity": geti("velocity"),
+            "pitch": geti("pitch", 52),   # the -52 files are pitch-52 notes
+            "qualities": qualities,
+            "instrument_source_str": self._str_field(
+                "instrument_source_str", i, INSTRUMENT_SOURCES,
+                "instrument_source"),
+            "instrument_family_str": self._str_field(
+                "instrument_family_str", i, INSTRUMENT_FAMILIES,
+                "instrument_family"),
+        }
+
+    def get_timbre_emb(self, indices: np.ndarray) -> Optional[np.ndarray]:
+        if "timbre_emb" not in self._h5:
+            return None
+        return self._h5["timbre_emb"][np.sort(indices)].astype(np.float32)
+
+    def create_latent_representation(self, runtime, quantize: bool = False,
+                                     batch_size: int = 32):
+        """Encode the file's STFT dataset through the VQ-GAN encoder and
+        store it as "latent_representation" (or
+        "quantized_latent_representation" with quantize=True) alongside —
+        the reference's NSynthDataset.create_latent_representation(VAE,
+        quantize=False) (train-VQGAN.ipynb cell 7).
+
+        runtime: a DiffuSynthRuntime (its vqgan + variables are used), or
+        any object with .vqgan/.vqgan_variables.
+        """
+        import functools
+
+        import h5py
+        import jax
+        import jax.numpy as jnp
+
+        assert "STFT" in self._h5, "create_latent_representation needs STFT"
+        vqgan = runtime.vqgan
+
+        @functools.partial(jax.jit, static_argnames=("do_q",))
+        def enc(variables, x, do_q):
+            z = vqgan.apply(variables, x, method=vqgan.encode)
+            if do_q:
+                z, _, _ = vqgan.apply(variables, z, method=vqgan.quantize)
+            return z
+
+        stft_ds = self._h5["STFT"]
+        cf = stft_ds.shape[1] in (3, 4) and stft_ds.shape[-1] not in (3, 4)
+        out = []
+        for s in range(0, len(stft_ds), batch_size):
+            x = stft_ds[s:s + batch_size].astype(np.float32)
+            if cf:
+                x = np.transpose(x, (0, 2, 3, 1))
+            out.append(np.asarray(
+                enc(runtime.vqgan_variables, jnp.asarray(x), quantize),
+                np.float32))
+        latents = np.concatenate(out, axis=0)
+        name = ("quantized_latent_representation" if quantize
+                else "latent_representation")
+        # HDF5 file locking forbids a second writable handle — cycle ours.
+        self._h5.close()
+        with h5py.File(self.path, "a") as h5:
+            if name in h5:
+                del h5[name]
+            h5.create_dataset(name, data=latents)
+        self._h5 = h5py.File(self.path, "r")
+        self._data = self._h5["STFT"]
+        return latents.shape
+
+
+class NSynthDataloader:
+    """Epoch iterable over an NSynthDataset with torch-DataLoader semantics:
+    each __iter__ starts a freshly shuffled epoch, so the reference loops'
+    `next(iter(loader))` idiom (diffusion.py:467, VQGAN.py:675) draws a
+    random batch per call, exactly like a torch DataLoader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 with_meta_data: bool = False, with_timbre_emb: bool = False,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.with_meta_data = with_meta_data
+        self.with_timbre_emb = with_timbre_emb
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n, b = len(self.dataset), self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = (self._rng.permutation(n) if self.shuffle
+                 else np.arange(n))
+        for s in range(0, len(self) * self.batch_size, self.batch_size):
+            idx = order[s:s + self.batch_size]
+            data, attributes = self.dataset.get_batch(idx)
+            if not self.with_meta_data:
+                yield data
+                continue
+            if self.with_timbre_emb:
+                emb = self.dataset.get_timbre_emb(idx) \
+                    if hasattr(self.dataset, "get_timbre_emb") else None
+                yield data, attributes, emb
+            else:
+                yield data, attributes
+
+
+def get_nsynth_dataloader(path: str, batch_size: int = 4,
+                          shuffle: bool = True,
+                          get_latent_representation: bool = False,
+                          with_meta_data: bool = False,
+                          with_timbre_emb: bool = False,
+                          get_quantized_latent_representation: bool = False,
+                          task: str = "STFT",
+                          seed: int = 0) -> NSynthDataloader:
+    """The reference's data_generation.nsynth.get_nsynth_dataloader API
+    (absent from its repo; signature reconstructed from every training
+    notebook — train-VQGAN.ipynb cell 3, train_diffusion.ipynb cell 3,
+    contrastive-pretrain.ipynb cell 5, train_timbre_encoder.ipynb cell 3).
+
+    Yields per batch: `data` (with_meta_data=False — the VQGAN loop's
+    `data = next(iter(iterator))`), `(data, attributes)` (the diffusion /
+    contrastive / timbre loops), or `(data, attributes, timbre_emb)`
+    (with_timbre_emb=True). Data is NHWC float32.
+    """
+    ds = NSynthDataset(
+        path, task=task,
+        get_latent_representation=get_latent_representation,
+        get_quantized_latent_representation=(
+            get_quantized_latent_representation))
+    return NSynthDataloader(ds, batch_size, shuffle=shuffle,
+                            with_meta_data=with_meta_data,
+                            with_timbre_emb=with_timbre_emb, seed=seed)
 
 
 class SyntheticNSynthDataset:

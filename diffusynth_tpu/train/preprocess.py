@@ -91,17 +91,34 @@ def build_hdf5(
         metas.extend(m)
     data = np.concatenate(chunks, axis=0)
 
+    from diffusynth_tpu.train.data import (INSTRUMENT_FAMILIES,
+                                           INSTRUMENT_SOURCES)
+
     with h5py.File(out_path, "w") as h5:
-        h5.create_dataset("latent" if to_latents else "STFT", data=data)
-        n = len(metas)
+        # Reference schema dataset names (train/data.py::NSynthDataset
+        # docstring): "STFT" for spectrograms, "latent_representation" for
+        # encoder outputs (the name the notebooks' loader kwargs select).
+        h5.create_dataset(
+            "latent_representation" if to_latents else "STFT", data=data)
+        fields = {}
         for field, default in (("instrument", 0), ("instrument_family", 0),
-                               ("instrument_source", 0), ("velocity", 100)):
-            h5.create_dataset(field, data=np.asarray(
+                               ("instrument_source", 0), ("velocity", 100),
+                               ("pitch", 52)):
+            fields[field] = np.asarray(
                 [labels.get(m["path"], {}).get(field, default)
-                 for m in metas], np.int32))
+                 for m in metas], np.int32)
+            h5.create_dataset(field, data=fields[field])
         h5.create_dataset("qualities", data=np.asarray(
             [labels.get(m["path"], {}).get("qualities", [0] * 10)
              for m in metas], np.int8))
+        # The *_str fields create_key concatenates (tools.py:246-252),
+        # stored explicitly so downstream tools never re-derive them.
+        h5.create_dataset("instrument_source_str", data=np.asarray([
+            INSTRUMENT_SOURCES[v % len(INSTRUMENT_SOURCES)].encode()
+            for v in fields["instrument_source"]]))
+        h5.create_dataset("instrument_family_str", data=np.asarray([
+            INSTRUMENT_FAMILIES[v % len(INSTRUMENT_FAMILIES)].encode()
+            for v in fields["instrument_family"]]))
         h5.create_dataset(
             "filename",
             data=np.asarray([m["path"].encode() for m in metas]))

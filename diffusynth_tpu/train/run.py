@@ -100,6 +100,8 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--max-iter", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--save-steps", type=int, default=None,
+                        help="checkpoint cadence (steps) for all models")
     parser.add_argument("--models-dir", default="models_jax")
     parser.add_argument("--name", default=None)
     parser.add_argument("--mesh", action="store_true",
@@ -139,10 +141,28 @@ def main(argv=None):
                         help="checkpoint NAME whose UNet role supplies "
                              "the frozen base weights (default: --name; "
                              "random init with a warning if absent)")
+    parser.add_argument("--runs-dir", default="runs",
+                        help="root for metrics.jsonl / TensorBoard output "
+                             "(default ./runs)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="miniature model geometry (configs."
+                             "tiny_app_config) for smoke round-trips")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    app = AppConfig()
+    import os as _os
+
+    from diffusynth_tpu.train.logging import MetricLogger
+
+    def mk_logger(name, role):
+        return MetricLogger(_os.path.join(args.runs_dir, f"{name}_{role}"))
+
+    if args.tiny:
+        from diffusynth_tpu.configs import tiny_app_config
+
+        app = tiny_app_config()
+    else:
+        app = AppConfig()
     a = app.audio
     if args.synthetic or args.data is None:
         latent_shape = (a.latent_height, a.vae_scale * 16, a.channels)
@@ -172,12 +192,15 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.save_steps is not None:
+            cfg = cfg.replace(save_steps=args.save_steps)
         if args.compute_dtype is not None:
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
         if args.steps_per_dispatch is not None:
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_vqgan(app.vqgan, cfg, it, checkpointer=ckpt, mesh=mesh,
+                    logger=mk_logger(cfg.model_name, "VQVAE"),
                     seed=args.seed)
     elif args.model == "diffusion":
         cfg = DiffusionTrainConfig(model_name=args.name or "unet")
@@ -185,6 +208,8 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.save_steps is not None:
+            cfg = cfg.replace(save_steps=args.save_steps)
         if args.ema_decay is not None:
             cfg = cfg.replace(ema_decay=args.ema_decay)
         if args.compute_dtype is not None:
@@ -222,10 +247,12 @@ def main(argv=None):
                 app.unet, cfg, it, lookup, uncond, base,
                 rank=args.lora_rank, alpha=args.lora_alpha,
                 targets=targets, checkpointer=ckpt, mesh=mesh,
+                logger=mk_logger(cfg.model_name, "UNet_lora"),
                 seed=args.seed)
         else:
             train_diffusion_model(app.unet, cfg, it, lookup, uncond,
                                   checkpointer=ckpt, mesh=mesh,
+                                  logger=mk_logger(cfg.model_name, "UNet"),
                                   seed=args.seed)
     elif args.model == "timbre":
         cfg = TimbreTrainConfig(model_name=args.name or "timbre_encoder")
@@ -233,17 +260,24 @@ def main(argv=None):
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.save_steps is not None:
+            cfg = cfg.replace(save_steps=args.save_steps)
         if args.steps_per_dispatch is not None:
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_timbre_encoder(app.timbre, cfg, it, checkpointer=ckpt,
-                             mesh=mesh, seed=args.seed)
+                             mesh=mesh,
+                             logger=mk_logger(cfg.model_name,
+                                              "timbre_encoder"),
+                             seed=args.seed)
     elif args.model == "contrastive":
         cfg = ContrastiveTrainConfig(model_name=args.name or "mmm")
         if args.max_iter is not None:
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.save_steps is not None:
+            cfg = cfg.replace(save_steps=args.save_steps)
         if args.steps_per_dispatch is not None:
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
@@ -253,19 +287,24 @@ def main(argv=None):
                      if args.captions else
                      _condition_lookup(app.multimodal.text_feature_dim))
         train_multimodal(app.multimodal, app.timbre, cfg, it, tf_lookup,
-                         checkpointer=ckpt, mesh=mesh, seed=args.seed)
+                         checkpointer=ckpt, mesh=mesh,
+                         logger=mk_logger(cfg.model_name, "MMM"),
+                         seed=args.seed)
     elif args.model == "gan":
         cfg = GANTrainConfig(model_name=args.name or "gan")
         if args.max_iter is not None:
             cfg = cfg.replace(max_iter=args.max_iter)
         if args.batch_size is not None:
             cfg = cfg.replace(batch_size=args.batch_size)
+        if args.save_steps is not None:
+            cfg = cfg.replace(save_steps=args.save_steps)
         if args.compute_dtype is not None:
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
         if args.steps_per_dispatch is not None:
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
         it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
         train_gan(app.unet, cfg, it, lookup, checkpointer=ckpt, mesh=mesh,
+                  logger=mk_logger(cfg.model_name, "GAN"),
                   seed=args.seed)
     print("training complete")
 

@@ -33,23 +33,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 def tiny_app_config():
     """Miniature geometry for API-learning runs (mirrors tests)."""
-    from diffusynth_tpu.configs import (
-        AppConfig, AudioConfig, DiffusionConfig, UNetConfig, VQGANConfig)
+    from diffusynth_tpu.configs import tiny_app_config as _tiny
 
-    return AppConfig(
-        audio=AudioConfig(
-            sample_rate=4000, n_fft=128, hop_length=32, win_length=128,
-            freq_resolution=64, time_resolution=32, vae_scale=4,
-            channels=4, latent_height=16,
-        ),
-        vqgan=VQGANConfig(hidden_channels=(8, 16), attn_pos=(),
-                          num_embeddings=32, num_groups=4),
-        unet=UNetConfig(down_dims=(8, 8, 16, 32), up_dims=(32, 32, 16, 8),
-                        label_emb_dim=16),
-        diffusion=DiffusionConfig(timesteps=50, height=16, channels=4,
-                                  train_width=8, max_width=32),
-        compute_dtype="float32",
-    )
+    return _tiny()
 
 
 def make_runtime(args, mesh=None):

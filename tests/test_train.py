@@ -229,6 +229,7 @@ class TestDiffusionTrainStep:
         params, _ = train_diffusion_model(
             SMALL_UNET, cfg, it, cond_lookup, np.zeros(16, np.float32),
             checkpointer=ckpt,
+            logger=MetricLogger(str(tmp_path), use_tensorboard=False),
         )
         assert ckpt.exists("tiny", "UNet")
         restored = ckpt.restore("tiny", "UNet",
@@ -262,6 +263,7 @@ class TestDiffusionTrainStep:
         params, _ = train_diffusion_model(
             SMALL_UNET, cfg, it, cond_lookup, np.zeros(16, np.float32),
             checkpointer=ckpt,
+            logger=MetricLogger(str(tmp_path), use_tensorboard=False),
         )
         assert ckpt.exists("tiny", "UNet_ema")
         live = ckpt.restore("tiny", "UNet",
@@ -630,3 +632,154 @@ class TestDataParallel:
         l1 = jax.tree_util.tree_leaves(p1)[0]
         l2 = jax.tree_util.tree_leaves(p2)[0]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestReferenceHDF5Schema:
+    """The reference's nsynth-STFT-*-52.hdf5 contract end to end: a tiny
+    file in exactly that schema (train/data.py::NSynthDataset docstring;
+    reconstructed from colab_notebooks/train-VQGAN.ipynb cell 3/7,
+    train_diffusion.ipynb cell 3, train_timbre_encoder.ipynb cell 3) is
+    read by get_nsynth_dataloader with every notebook flag combination and
+    round-trips through the training CLI — so a user's real NSynth file
+    works day one."""
+
+    N, F, T, LH, LW, C = 12, 64, 32, 16, 8, 4
+
+    def _write_fixture(self, path, with_latents=False, with_timbre_emb=False):
+        import h5py
+
+        rng = np.random.default_rng(0)
+        with h5py.File(path, "w") as h5:
+            # channels-first (N, 3, F, T), as a torch-side writer stores it
+            h5.create_dataset("STFT", data=rng.standard_normal(
+                (self.N, 3, self.F, self.T)).astype(np.float32))
+            if with_latents:
+                h5.create_dataset("latent_representation",
+                                  data=rng.standard_normal(
+                                      (self.N, self.LH, self.LW, self.C)
+                                  ).astype(np.float32))
+            h5.create_dataset("instrument",
+                              data=np.arange(self.N, dtype=np.int64))
+            h5.create_dataset("instrument_family",
+                              data=(np.arange(self.N) % 11).astype(np.int64))
+            h5.create_dataset("instrument_source",
+                              data=(np.arange(self.N) % 3).astype(np.int64))
+            h5.create_dataset("velocity", data=np.full(self.N, 100, np.int64))
+            h5.create_dataset("pitch", data=np.full(self.N, 52, np.int64))
+            h5.create_dataset("qualities", data=(
+                rng.integers(0, 2, (self.N, 10))).astype(np.int8))
+            from diffusynth_tpu.train.data import (INSTRUMENT_FAMILIES,
+                                                   INSTRUMENT_SOURCES)
+            h5.create_dataset("instrument_source_str", data=np.asarray(
+                [INSTRUMENT_SOURCES[i % 3].encode() for i in range(self.N)]))
+            h5.create_dataset("instrument_family_str", data=np.asarray(
+                [INSTRUMENT_FAMILIES[i % 11].encode() for i in range(self.N)]))
+            if with_timbre_emb:
+                h5.create_dataset("timbre_emb", data=rng.standard_normal(
+                    (self.N, 32)).astype(np.float32))
+        return str(path)
+
+    def test_stft_loader_with_meta(self, tmp_path):
+        """train_diffusion.ipynb cell 3 flags: (data, attributes) batches,
+        NHWC conversion, create_key built from the file's own strings."""
+        from diffusynth_tpu.dsp.utils import create_key
+        from diffusynth_tpu.train import get_nsynth_dataloader
+
+        path = self._write_fixture(tmp_path / "nsynth-STFT-train-52.hdf5")
+        loader = get_nsynth_dataloader(path, batch_size=4, shuffle=True,
+                                       get_latent_representation=False,
+                                       with_meta_data=True, task="STFT")
+        assert len(loader) == 3
+        data, attributes = next(iter(loader))
+        assert data.shape == (4, self.F, self.T, 3)     # NHWC from NCHW
+        assert data.dtype == np.float32
+        for a in attributes:
+            key = create_key(a)
+            src, fam = a["instrument_source_str"], a["instrument_family_str"]
+            assert key.startswith(f"{src}_{fam}_")
+            assert len(key.rsplit("_", 1)[-1]) == 10    # qualities bits
+            assert a["pitch"] == 52
+        # next(iter(loader)) twice must NOT replay the same epoch head
+        # deterministically forever (torch DataLoader reshuffle semantics).
+        draws = {next(iter(loader))[0].tobytes() for _ in range(6)}
+        assert len(draws) > 1
+
+    def test_vqgan_loader_plain_data(self, tmp_path):
+        """train-VQGAN.ipynb cell 3: with_meta_data=False yields bare
+        arrays (`data = next(iter(iterator))`, VQGAN.py:675)."""
+        from diffusynth_tpu.train import get_nsynth_dataloader
+
+        path = self._write_fixture(tmp_path / "f.hdf5")
+        loader = get_nsynth_dataloader(path, batch_size=4, shuffle=True,
+                                       get_latent_representation=False,
+                                       with_meta_data=False, task="STFT")
+        data = next(iter(loader))
+        assert isinstance(data, np.ndarray)
+        assert data.shape == (4, self.F, self.T, 3)
+
+    def test_latent_and_timbre_emb_loader(self, tmp_path):
+        """train_timbre_encoder.ipynb cell 3: latent_representation
+        selection + the with_timbre_emb triple."""
+        from diffusynth_tpu.train import get_nsynth_dataloader
+
+        path = self._write_fixture(tmp_path / "f.hdf5", with_latents=True,
+                                   with_timbre_emb=True)
+        loader = get_nsynth_dataloader(path, batch_size=3, shuffle=False,
+                                       get_latent_representation=True,
+                                       with_meta_data=True,
+                                       with_timbre_emb=True, task="STFT")
+        data, attributes, emb = next(iter(loader))
+        assert data.shape == (3, self.LH, self.LW, self.C)
+        assert emb.shape == (3, 32)
+        assert len(attributes) == 3
+
+    def test_create_latent_representation_roundtrip(self, tmp_path):
+        """train-VQGAN.ipynb cell 7: NSynthDataset.create_latent_representation
+        (VAE, quantize=...) writes latent_representation /
+        quantized_latent_representation datasets the loader kwargs then
+        select (validating loader: get_quantized_latent_representation)."""
+        from diffusynth_tpu.nn.vqgan import VQGAN
+        from diffusynth_tpu.train import NSynthDataset, get_nsynth_dataloader
+
+        path = self._write_fixture(tmp_path / "f.hdf5")
+        vqgan = VQGAN(VQGANConfig(in_channels=3, hidden_channels=(4, 8),
+                                  attn_pos=(), embedding_dim=self.C,
+                                  num_embeddings=16, num_groups=2))
+        variables = vqgan.init(jax.random.key(0),
+                               jnp.zeros((1, self.F, self.T, 3)))
+
+        class RT:  # the slice of DiffuSynthRuntime the method needs
+            pass
+
+        rt = RT()
+        rt.vqgan, rt.vqgan_variables = vqgan, variables
+
+        ds = NSynthDataset(path, task="STFT")
+        shape_z = ds.create_latent_representation(rt, quantize=False,
+                                                  batch_size=5)
+        shape_q = ds.create_latent_representation(rt, quantize=True,
+                                                  batch_size=5)
+        assert shape_z == shape_q == (self.N, self.F // 4, self.T // 4,
+                                      self.C)
+        z = next(iter(get_nsynth_dataloader(
+            path, batch_size=2, get_latent_representation=True)))
+        q = next(iter(get_nsynth_dataloader(
+            path, batch_size=2, get_quantized_latent_representation=True)))
+        assert z.shape == q.shape == (2, self.F // 4, self.T // 4, self.C)
+        assert not np.allclose(z, q)   # quantization must have acted
+
+    def test_training_cli_roundtrip(self, tmp_path):
+        """The full day-one path: reference-schema file -> train.run CLI
+        (--tiny diffusion on latent_representation) -> checkpoint."""
+        from diffusynth_tpu.train import Checkpointer
+        from diffusynth_tpu.train.run import main
+
+        path = self._write_fixture(tmp_path / "nsynth.hdf5",
+                                   with_latents=True)
+        main(["--model", "diffusion", "--data", path, "--latents",
+              "--tiny", "--max-iter", "3", "--batch-size", "2",
+              "--save-steps", "2",
+              "--models-dir", str(tmp_path / "models"),
+              "--runs-dir", str(tmp_path / "runs")])
+        ckpt = Checkpointer(str(tmp_path / "models"))
+        assert ckpt.exists("unet", "UNet")
