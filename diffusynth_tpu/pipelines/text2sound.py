@@ -61,7 +61,12 @@ class Text2SoundPipeline:
         seed: int = 0,
         return_audio: bool = True,
         audio_format: str = "f32",
+        fetch_audio: bool = True,
     ) -> Text2SoundResult:
+        """fetch_audio=False leaves .audio as a DEVICE array (the device->
+        host copy is the caller's sync point) so a pipelined caller —
+        serving, bench.py — can overlap fetching run i's audio with
+        dispatching run i+1 through the tunnel."""
         rt = self.runtime
         a = rt.config.audio
         width = a.width_from_duration(duration_sec)
@@ -83,6 +88,7 @@ class Text2SoundPipeline:
             latents=latents,
             quantized=quantized,
             spectrograms=spectrograms,
-            audio=np.asarray(audio) if return_audio else None,
+            audio=((np.asarray(audio) if fetch_audio else audio)
+                   if return_audio else None),
             sample_rate=a.sample_rate,
         )

@@ -585,10 +585,14 @@ def main(argv=None):
                         help="per-request wait cap in seconds (default "
                              "matches the stuck threshold; lower it when "
                              "a warmup manifest removes cold compiles)")
-    parser.add_argument("--quantize", default=None, choices=["int8"],
+    parser.add_argument("--quantize", default="int8",
+                        choices=["int8", "none"],
                         help="W8A8 int8 U-Net convs (ops/quant.py): "
-                             "~9%% faster steps; fidelity numbers in "
-                             "docs/PARITY_E2E.md")
+                             "~9%% faster steps; DEFAULT since r3 — on a "
+                             "trained checkpoint int8-vs-bf16 e2e drift "
+                             "is below the bf16 default's own bf16-vs-f32 "
+                             "drift (docs/PARITY_E2E.md). --quantize none "
+                             "restores bf16")
     parser.add_argument("--checkpoint", default=None,
                         help="orbax models dir with converted/trained "
                              "weights (compat.convert_cli / train.run "
@@ -601,8 +605,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     print("initializing models (first TPU compile takes minutes)...",
           flush=True)
+    quantize = None if args.quantize == "none" else args.quantize
     runtime = build_runtime(checkpoint=args.checkpoint,
-                            quantize=args.quantize, use_ema=args.use_ema,
+                            quantize=quantize, use_ema=args.use_ema,
                             lora_name=args.lora_name)
     server = make_server(args.host, args.port, runtime=runtime,
                          max_batch=args.max_batch,

@@ -174,7 +174,12 @@ class AotJit:
             try:
                 t0 = time.time()
                 with open(path, "rb") as f:
-                    payload, in_tree, out_tree, dev_ids = pickle.load(f)
+                    raw = f.read()
+                if raw[:4] == b"DSZ1":     # zlib-compressed entry (r3)
+                    import zlib
+
+                    raw = zlib.decompress(raw[4:])
+                payload, in_tree, out_tree, dev_ids = pickle.loads(raw)
                 by_id = {d.id: d for d in jax.devices()}
                 loaded = se.deserialize_and_load(
                     payload, in_tree, out_tree,
@@ -199,12 +204,24 @@ class AotJit:
             dev_ids = [d.id for d in _execution_devices(compiled)]
             path.parent.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp-%d" % os.getpid())
+            blob = pickle.dumps((payload, in_tree, out_tree, dev_ids))
+            note = ""
+            if os.environ.get("DIFFUSYNTH_AOT_COMPRESS", "1") != "0":
+                # Disk-size win only: deserialize_and_load hands PJRT the
+                # RAW payload, so the tunnel upload (the 0.3 MB/s
+                # bottleneck) is unchanged by on-disk compression —
+                # measured in benchmarks/aot_cold_start.py (r3).
+                import zlib
+
+                comp = zlib.compress(blob, 6)
+                note = f" ({len(comp)/1e6:.1f} MB zlib)"
+                blob = b"DSZ1" + comp
             with open(tmp, "wb") as f:
-                pickle.dump((payload, in_tree, out_tree, dev_ids), f)
+                f.write(blob)
             tmp.replace(path)
             print(f"[aot-cache] {self._name}: compiled in "
-                  f"{time.time()-t0:.1f}s, cached {len(payload)/1e6:.1f} MB "
-                  f"-> {path.name}", flush=True)
+                  f"{time.time()-t0:.1f}s, cached {len(payload)/1e6:.1f} MB"
+                  f"{note} -> {path.name}", flush=True)
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             print(f"[aot-cache] {self._name}: serialize failed "
                   f"({type(e).__name__}: {e}); caching skipped", flush=True)
