@@ -233,6 +233,8 @@ def train_diffusion_lora(
     logger: Optional[MetricLogger] = None,
     mesh=None,
     seed: int = 0,
+    eval_fn: Optional[Callable] = None,
+    eval_every: int = 200,
 ):
     """Adapter-only fine-tune loop. Returns (lora, opt_state).
 
@@ -241,6 +243,18 @@ def train_diffusion_lora(
     orders of magnitude smaller than a full U-Net checkpoint. Restore with
     Checkpointer.restore(name, "UNet_lora", {"variables": init_lora(...),
     "step": 0}) and bake with :func:`merge_lora`.
+
+    eval_fn(lora, step) -> float: optional held-out metric (lower =
+    better). When given, the "UNet_lora" checkpoint role is BEST-GATED on
+    it (the reference's best-loss checkpoint pattern, VQGAN.py:746-757)
+    instead of overwritten every save_steps. This matters in practice:
+    the in-training loss window only samples PRE-update states, so a
+    late-training Adam excursion can leave the final post-update adapter
+    far off a good state with no visible sign in the loss curve — both
+    r3 demonstration runs ended on such a state (loss window 0.027, final
+    adapter's true loss 0.50; benchmarks/RESULTS_r3.md "LoRA
+    end-state instability"). Best-gating on a held-out eval of the
+    ACTUAL candidate state is the robust fix.
     """
     cfg = train_config
     unet = ConditionedUnet(unet_config, dtype=_dtype_of(cfg.compute_dtype))
@@ -263,6 +277,7 @@ def train_diffusion_lora(
 
     key = jax.random.key(seed + 1)
     losses = MetricWindow(max(100, cfg.save_steps) // K + 1)
+    best_metric = float("inf")
 
     def crossed(step: int, every: int) -> bool:
         return step // every != (step - K) // every
@@ -296,7 +311,17 @@ def train_diffusion_lora(
         step += K
         if crossed(step, 100):
             logger.log("loss_100", losses.mean(max(1, 100 // K)), step)
-        if checkpointer and crossed(step, cfg.save_steps):
+        improved = True
+        if eval_fn is not None and (crossed(step, eval_every)
+                                    or step >= cfg.max_iter):
+            metric = float(eval_fn(lora, step))
+            logger.log("eval_loss", metric, step)
+            improved = metric < best_metric
+            if improved:
+                best_metric = metric
+        if checkpointer and improved and (
+                crossed(step, cfg.save_steps)
+                or (eval_fn is not None and crossed(step, eval_every))):
             checkpointer.save(cfg.model_name, "UNet_lora",
                               {"variables": lora, "step": step})
             checkpointer.save_hyperparameters(
@@ -304,5 +329,6 @@ def train_diffusion_lora(
                 {"rank": rank, "alpha": alpha,
                  "targets": list(targets) if targets else None,
                  "BATCH_SIZE": cfg.batch_size, "lr": cfg.lr,
-                 "current_iter": step})
+                 "current_iter": step,
+                 "eval_loss": best_metric if eval_fn else None})
     return lora, opt_state
