@@ -128,9 +128,12 @@ def main():
     hxx = jnp.asarray(hx)
     ht = jax.random.randint(jax.random.key(5), (32,), 0,
                             app.diffusion.timesteps)
-    ev = jax.jit(lambda l: p_losses(
-        unet.apply, apply_lora(base, l, 16.0), jax.random.key(9), hxx, ht,
+    # base threaded as an argument — closed-over params become HLO
+    # constants and the axon remote compiler rejects the POST (CLAUDE.md).
+    ev_j = jax.jit(lambda b, l: p_losses(
+        unet.apply, apply_lora(b, l, 16.0), jax.random.key(9), hxx, ht,
         hcond, consts))
+    ev = lambda l: ev_j(base, l)
 
     if (os.environ.get("DIFFUSYNTH_LORA_SKIP_TRAIN")
             and ckpt.exists(CKPT_NAME, "UNet_lora")):

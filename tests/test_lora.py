@@ -199,3 +199,51 @@ def test_lora_step_sharded_matches_single(base):
     for a, b in zip(jax.tree_util.tree_leaves(l1),
                     jax.tree_util.tree_leaves(l2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_loop_best_gates_on_eval(base, tmp_path):
+    """eval_fn best-gating: the UNet_lora checkpoint keeps the state with
+    the lowest held-out eval, not the final state (RESULTS_r3.md "LoRA
+    end-state instability")."""
+    from diffusynth_tpu.train.logging import MetricLogger
+
+    _, params, _, _ = base
+    rng = np.random.default_rng(7)
+
+    def it():
+        while True:
+            yield (rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+                   {"instrument_str": ["a", "b"]})
+
+    def lookup(attrs):
+        return rng.standard_normal((2, 16)).astype(np.float32)
+
+    # Scripted eval: improves at steps 2 and 4, then worsens — the saved
+    # checkpoint must be the step-4 state.
+    evals = {2: 1.0, 4: 0.5, 6: 2.0, 8: 3.0}
+    seen_states = {}
+
+    def eval_fn(lora, step):
+        seen_states[step] = jax.tree_util.tree_map(np.asarray, lora)
+        return evals[step]
+
+    cfg = DiffusionTrainConfig(batch_size=2, max_iter=8, save_steps=100,
+                               timesteps=50, model_name="bg")
+    ckpt = Checkpointer(str(tmp_path / "models"))
+    train_diffusion_lora(
+        SMALL_UNET, cfg, it(), lookup, np.zeros(16, np.float32), params,
+        rank=4, checkpointer=ckpt, eval_fn=eval_fn, eval_every=2,
+        logger=MetricLogger(str(tmp_path / "runs"), use_tensorboard=False))
+    assert set(seen_states) == {2, 4, 6, 8}
+    template = {"variables": init_lora(params, jax.random.key(0), rank=4),
+                "step": 0}
+    restored = ckpt.restore("bg", "UNet_lora", template)
+    assert int(restored["step"]) == 4
+    chex.assert_trees_all_close(restored["variables"], seen_states[4],
+                                atol=0)
+    # the eval curve was logged
+    import json as _json
+    rows = [_json.loads(l)
+            for l in open(tmp_path / "runs" / "metrics.jsonl")]
+    assert [r["value"] for r in rows if r["name"] == "eval_loss"] == \
+        [1.0, 0.5, 2.0, 3.0]

@@ -223,6 +223,8 @@ class TestDiffusionTrainStep:
                 np.full(16, a["instrument"] / 8.0, np.float32) for a in attrs
             ])
 
+        from diffusynth_tpu.train.logging import MetricLogger
+
         ckpt = Checkpointer(str(tmp_path / "models"))
         cfg = DiffusionTrainConfig(batch_size=4, max_iter=6, save_steps=3,
                                    timesteps=50, model_name="tiny")
@@ -255,6 +257,8 @@ class TestDiffusionTrainStep:
             return np.stack([
                 np.full(16, a["instrument"] / 8.0, np.float32) for a in attrs
             ])
+
+        from diffusynth_tpu.train.logging import MetricLogger
 
         ckpt = Checkpointer(str(tmp_path / "models"))
         cfg = DiffusionTrainConfig(batch_size=4, max_iter=4, save_steps=4,
