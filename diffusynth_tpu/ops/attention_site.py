@@ -65,39 +65,14 @@ def _attn_site_kernel(
             F=F, dim_head=dim_head, scale=scale, eps=eps, n=n)
 
 
-def _attn_site_kernel_i8(
-    x_ref, xs_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref,
-    gpre_s_ref, gpre_b_ref, gpost_s_ref, gpost_b_ref,
-    o_ref, os_ref,
-    *, F: int, dim_head: int, scale: float, eps: float, n: int,
-    compute_dtype,
-):
-    """int8-activation variant (H16): x arrives int8 with a per-sample
-    scale (xs_ref), the result leaves int8 with a per-sample scale
-    computed in VMEM — both HBM block transfers at half the bytes of the
-    bf16 kernel. Dequant/requant happen entirely in VMEM."""
-    for s in range(x_ref.shape[0]):
-        _attn_one_sample(
-            x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref, gpre_s_ref,
-            gpre_b_ref, gpost_s_ref, gpost_b_ref, o_ref, s,
-            F=F, dim_head=dim_head, scale=scale, eps=eps, n=n,
-            x_scale_ref=xs_ref, o_scale_ref=os_ref,
-            compute_dtype=compute_dtype)
-
-
 def _attn_one_sample(
     x_ref, lkq_ref, wqkv_ref, wout_ref, bout_ref,
     gpre_s_ref, gpre_b_ref, gpost_s_ref, gpost_b_ref,
     o_ref, s,
     *, F: int, dim_head: int, scale: float, eps: float, n: int,
-    x_scale_ref=None, o_scale_ref=None, compute_dtype=None,
 ):
     HW, C = x_ref.shape[-2], x_ref.shape[-1]
-    if x_scale_ref is not None:
-        xb = (x_ref[s].astype(jnp.float32)
-              * x_scale_ref[s, 0]).astype(compute_dtype)  # dequant in VMEM
-    else:
-        xb = x_ref[s]                                # (HW, C) bf16
+    xb = x_ref[s]                                    # (HW, C) bf16
 
     # --- PreNorm (GN groups=1) over the real n elements.
     s1, s2 = _sum_and_sumsq_bf16(xb)
@@ -154,15 +129,7 @@ def _attn_one_sample(
     g2s = gpost_s_ref[0].astype(jnp.float32)
     g2b = gpost_b_ref[0].astype(jnp.float32)
     y = (out - m2) * (inv2 * g2s) + g2b
-    if o_scale_ref is not None:
-        full = xb.astype(jnp.float32) + y            # (HW, C) f32 in VMEM
-        amax = jnp.max(jnp.abs(full))
-        oscale = jnp.maximum(amax, 1e-12) / 127.0
-        o_ref[s] = jnp.clip(jnp.round(full / oscale), -127, 127
-                            ).astype(jnp.int8)
-        o_scale_ref[s, 0] = oscale
-    else:
-        o_ref[s] = xb + y.astype(xb.dtype)
+    o_ref[s] = xb + y.astype(xb.dtype)
 
 
 def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
@@ -226,91 +193,6 @@ def _pallas_forward(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
         gpost_b.reshape(1, C).astype(dtype),
     )
     return out.reshape(B, H, W, C)
-
-
-def _pallas_forward_i8(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
-                       gpost_s, gpost_b, *, heads, dim_head, scale, eps, n,
-                       interpret):
-    """H16 experiment: halve the kernel's x/out HBM block traffic (the
-    site's bound — misaligned-lane DMA, RESULTS_r2.md H6) by moving the
-    activations as int8 with per-sample scales. The input quantization
-    costs one extra XLA absmax pass + an int8 write; the output
-    dequantization is elementwise in the consumer; whether the halved
-    Pallas DMA beats that overhead is measured in
-    benchmarks/micro_attn_int8.py."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, H, W, C = x.shape
-    HW = H * W
-    F = heads * dim_head
-    dtype = x.dtype
-
-    # Per-sample symmetric quantization of x (XLA side).
-    xs = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3))   # (B,)
-    xs = jnp.maximum(xs, 1e-12) / 127.0
-    xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / xs[:, None, None, None]),
-        -127, 127).astype(jnp.int8).reshape(B, HW, C)
-
-    per_sample = HW * C * 2                           # int8 x + int8 out
-    inter = HW * (3 * F) * 4 * 2
-    SB = 1
-    for cand in (16, 8, 4, 2):
-        if B % cand == 0 and cand * per_sample + inter <= 10 * 2 ** 20:
-            SB = cand
-            break
-
-    const = lambda b: (0, 0)  # noqa: E731
-    oq, oscale = pl.pallas_call(
-        functools.partial(
-            _attn_site_kernel_i8, F=F, dim_head=dim_head, scale=scale,
-            eps=eps, n=n, compute_dtype=dtype),
-        grid=(B // SB,),
-        in_specs=[
-            pl.BlockSpec((SB, HW, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, 1, 2 * F), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * F), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((SB, HW, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, HW, C), jnp.int8),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
-        xq,
-        xs.reshape(B, 1).astype(jnp.float32),
-        label_kq.reshape(B, 1, 2 * F).astype(dtype),
-        wqkv.astype(dtype),
-        wout.astype(dtype),
-        bout.reshape(1, C).astype(dtype),
-        gpre_s.reshape(1, C).astype(dtype),
-        gpre_b.reshape(1, C).astype(dtype),
-        gpost_s.reshape(1, C).astype(dtype),
-        gpost_b.reshape(1, C).astype(dtype),
-    )
-    # Dequant (elementwise; fuses into the consumer where possible).
-    out = oq.astype(jnp.float32) * oscale[:, :, None]
-    return out.astype(dtype).reshape(B, H, W, C)
 
 
 def attention_site_reference(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
@@ -394,44 +276,16 @@ def _site_bwd(heads, dim_head, scale, eps, n, residuals, grad):
 _attention_site_fused.defvjp(_site_fwd, _site_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
-def _attention_site_fused_i8(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b,
-                             gpost_s, gpost_b, heads, dim_head, scale, eps,
-                             n):
-    return _pallas_forward_i8(
-        x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
-        heads=heads, dim_head=dim_head, scale=scale, eps=eps, n=n,
-        interpret=False)
-
-
-def _site_fwd_i8(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
-                 gpost_b, heads, dim_head, scale, eps, n):
-    out = _attention_site_fused_i8(x, label_kq, wqkv, wout, bout, gpre_s,
-                                   gpre_b, gpost_s, gpost_b, heads, dim_head,
-                                   scale, eps, n)
-    return out, (x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
-                 gpost_b)
-
-
-# Straight-through: backward differentiates the float reference (like the
-# int8 convs, ops/quant.py — quantize is an inference/serving feature).
-_attention_site_fused_i8.defvjp(_site_fwd_i8, _site_bwd)
-
-
 def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
                    gpost_b, *, heads: int = 4, dim_head: int = 32,
                    scale: Optional[float] = None, eps: float = 1e-5,
                    n: Optional[int] = None,
-                   use_pallas: Optional[bool] = None,
-                   quantize_activations: bool = False):
+                   use_pallas: Optional[bool] = None):
     """Fused attention site with dispatch.
 
     x: (B, H, W, C); label_kq: (B, 2F) — concat(label_k, label_q) from the
     condition Dense layers (zeros when unconditioned); wqkv: (C, 3F);
     wout: (F, C); n: real per-sample element count (channel padding).
-    quantize_activations: move the x/out HBM blocks as int8 with
-    per-sample scales (H16; see _pallas_forward_i8) — only meaningful on
-    the Pallas path.
     """
     B, H, W, C = x.shape
     F = heads * dim_head
@@ -461,10 +315,14 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
         # aligned one (~657) measured WORSE in-model: 195.6 vs 194.3
         # ms/step bf16, 181.3 vs 178.2 int8 — the 33% wider x/out blocks
         # plus the pad/slice boundary copies cost more than the rate buys.
-        if quantize_activations:
-            return _attention_site_fused_i8(
-                x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
-                gpost_b, heads, dim_head, scale, eps, n)
+        # NOTE (H16, RESULTS_r3.md, disproven): moving the x/out blocks
+        # as int8 with per-sample scales (dequant/requant in VMEM; the
+        # input quantized by an XLA absmax+round pass) measured WORSE at
+        # every production site despite halving the block bytes — bare
+        # kernel L0 5.38 vs 4.08 ms, L1 1.24 vs 1.06, L2 0.57 vs 0.47
+        # (B=128) — the extra XLA quant passes plus the lower int8 DMA
+        # efficiency cost more than the bytes save. Deleted per the
+        # losing-paths policy; implementation in git history (r3).
         return _attention_site_fused(
             x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s, gpost_b,
             heads, dim_head, scale, eps, n)

@@ -167,28 +167,6 @@ class TestAttentionSiteKernel:
                                    np.asarray(ref), atol=5e-5, rtol=1e-4)
         assert np.all(np.asarray(got[..., Cr:]) == 0.0)
 
-    @pytest.mark.parametrize("C", [96, 128])
-    def test_int8_activation_variant(self, C):
-        """The H16 int8-activation kernel (x/out blocks moved as int8 with
-        per-sample scales, benchmarks/micro_attn_int8.py) must match the
-        reference within int8 quantization error: two per-sample symmetric
-        8-bit roundings bound the error by ~(|x|max + |y|max)/127."""
-        from diffusynth_tpu.ops.attention_site import _pallas_forward_i8
-
-        a = self._args(jax.random.PRNGKey(3), C=C)
-        kw = dict(heads=4, dim_head=32, scale=32 ** -0.5, eps=1e-5,
-                  n=16 * 8 * C)
-        ref = np.asarray(attention_site_reference(*a.values(), **kw))
-        got = np.asarray(_pallas_forward_i8(*a.values(), **kw,
-                                            interpret=True))
-        xmax = float(np.abs(np.asarray(a["x"])).max())
-        omax = float(np.abs(ref).max())
-        budget = (xmax + omax) / 127.0
-        err = np.abs(got - ref).max()
-        assert err <= budget, (err, budget)
-        # and it must actually be close in the mean, not just bounded
-        assert np.abs(got - ref).mean() < 0.25 * budget
-
     def test_reference_matches_module_path(self):
         """attention_site_reference == PreNorm + LinearCrossAttentionAdd
         + residual (the pre-fusion module math)."""
