@@ -300,8 +300,10 @@ def main(argv=None):
         name, fn = BENCHES[n]
         print(f"== config {n}: {name} ==", file=sys.stderr, flush=True)
         r = fn(rt)
-        results.extend(r if isinstance(r, list) else [r])
-        print(json.dumps(results[-1]), flush=True)
+        new = r if isinstance(r, list) else [r]
+        results.extend(new)
+        for item in new:
+            print(json.dumps(item), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
