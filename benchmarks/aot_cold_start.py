@@ -1,21 +1,19 @@
 """Cold-start with the compressed AOT executable cache (VERDICT r2 #4).
 
-One process = one cold start. Run the SAME command twice with
-DIFFUSYNTH_AOT_CACHE=force: the first populates the cache (and its
-stdout records serialized + zlib sizes per program), the second loads
-instead of compiling. The printed total wall-to-first-audio is the
-cold-start number; compare the pair.
+One process = one cold start. Run the SAME command twice (the cache is
+now ON by default under the tunnel): the first populates the cache (and
+its stdout records serialized + zlib sizes per program), the second
+loads instead of compiling. The printed total wall-to-first-audio is
+the cold-start number; compare the pair.
 
-    DIFFUSYNTH_AOT_CACHE=force python -m benchmarks.aot_cold_start --batch 64
-    DIFFUSYNTH_AOT_CACHE=force python -m benchmarks.aot_cold_start --batch 64
+    python -m benchmarks.aot_cold_start --batch 64
+    python -m benchmarks.aot_cold_start --batch 64
 
-Context (r2): loading pushes the program binary to the remote backend
-through the tunnel at ~0.3 MB/s (83 MB U-Net fwd = 285 s vs 29 s fresh
-compile), which is why the cache auto-disables under axon. zlib
-compression (r3) shrinks the DISK entry ~2-4x but deserialize_and_load
-hands PJRT the RAW payload, so the upload is unchanged — this run
-measures whether the idea survives at the headline program sizes, and
-closes it with numbers either way.
+History: in r2 loading pushed the program binary to the remote backend
+at ~0.3 MB/s (83 MB U-Net fwd = 285 s vs 29 s fresh compile) and the
+cache auto-disabled under axon; the r3 re-measurement found the backend
+updated (121 MB sampler step loads in 1-2 s across three runs,
+RESULTS_r3.md section 8), so the default flipped to ON.
 """
 
 from __future__ import annotations

@@ -67,13 +67,20 @@ class DiffuSynthRuntime:
         k_vq, k_unet = jax.random.split(key)
         # Inits MUST be jitted: unjitted flax init runs eagerly op-by-op
         # through the axon tunnel (measured 459 s for this pair vs ~60 s
-        # jitted — benchmarks/cold_start.py r2).
+        # jitted — benchmarks/cold_start.py r2). aot_jit additionally
+        # caches the compiled init executables across processes — after
+        # the sampler/decode programs started cache-loading in ~2 s
+        # (RESULTS_r3.md section 8), the init compiles became the
+        # dominant cold-start term.
+        from diffusynth_tpu.utils.aot_cache import aot_jit
+
         if vqgan_variables is None:
             x0 = jnp.zeros((1, a.freq_resolution, a.time_resolution, 3))
-            vqgan_variables = jax.jit(self.vqgan.init)(k_vq, x0)
+            vqgan_variables = aot_jit(self.vqgan.init,
+                                      name="vqgan_init")(k_vq, x0)
         if unet_variables is None:
             z0 = jnp.zeros((1, a.latent_height, 8, a.channels))
-            unet_variables = jax.jit(self.unet.init)(
+            unet_variables = aot_jit(self.unet.init, name="unet_init")(
                 k_unet, z0, jnp.zeros(1, jnp.int32),
                 jnp.zeros((1, self.config.unet.label_emb_dim)),
             )

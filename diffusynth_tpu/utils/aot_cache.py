@@ -113,16 +113,15 @@ class AotJit:
         backend = jax.default_backend()
         if backend == "cpu":
             return False
-        # Tunneled devices (axon remote backend): loading a deserialized
-        # executable pushes the program binary through the tunnel at
-        # ~0.3 MB/s (measured 285 s for an 83 MB U-Net forward vs a 29 s
-        # fresh compile) — a net loss. Opt in with DIFFUSYNTH_AOT_CACHE=force.
-        try:
-            ver = jax.devices()[0].client.platform_version
-        except Exception:  # noqa: BLE001
-            ver = ""
-        if "axon" in ver:
-            return os.environ.get("DIFFUSYNTH_AOT_CACHE") == "force"
+        # Tunneled devices (axon remote backend): ON by default since r3.
+        # In r2 loading pushed the program binary through the tunnel at
+        # ~0.3 MB/s (285 s for an 83 MB U-Net forward vs a 29 s fresh
+        # compile) and the cache auto-disabled here; the backend has since
+        # been updated and loads were re-measured at 1-2 s for the 121 MB
+        # headline sampler step across three runs (RESULTS_r3.md section
+        # 8) vs 28-680 s compiles. Loads print their wall time — if the
+        # slow-upload behavior ever returns, DIFFUSYNTH_AOT_CACHE=0 turns
+        # the cache off.
         return True
 
     def __call__(self, *args, **kwargs):
