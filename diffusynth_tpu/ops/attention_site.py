@@ -291,9 +291,6 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
     F = heads * dim_head
     scale = dim_head ** -0.5 if scale is None else scale
     n = n if n is not None else H * W * C
-    from diffusynth_tpu.ops.dispatch import known_bad_step_batch
-    if known_bad_step_batch(B):
-        use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
         itemsize = jnp.dtype(x.dtype).itemsize
         per_sample = H * W * (2 * C + 6 * F) * itemsize
@@ -309,6 +306,16 @@ def attention_site(x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
             and per_sample <= 64 * 1024 * 1024
         )
     if use_pallas:
+        # Consulted only when the Pallas path would actually be taken, so
+        # CPU/auto-off dispatches never emit the fence warning.
+        from diffusynth_tpu.ops.dispatch import known_bad_step_batch
+
+        if known_bad_step_batch(B):
+            # overrides an explicit True: compile-wedge fence
+            return attention_site_reference(
+                x, label_kq, wqkv, wout, bout, gpre_s, gpre_b, gpost_s,
+                gpost_b, heads=heads, dim_head=dim_head, scale=scale,
+                eps=eps, n=n)
         # NOTE (H12, RESULTS_r2.md, disproven): zero-padding the C dim to
         # 128 at the site boundary (exact under the real-`n` GroupNorms)
         # to swap the misaligned-lane Pallas DMA rate (~150 GB/s) for the

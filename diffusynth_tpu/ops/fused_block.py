@@ -530,9 +530,6 @@ def convnext_body(
     # the two share configs.UNetConfig.fused_kernels.
     if os.environ.get("DIFFUSYNTH_BODY_PALLAS") == "0":
         use_pallas = False
-    from diffusynth_tpu.ops.dispatch import known_bad_step_batch
-    if known_bad_step_batch(B):
-        use_pallas = False  # overrides an explicit True: compile-wedge fence
     if use_pallas is None:
         # Default OFF everywhere. At b128+ XLA's dw-conv+stats epilogue
         # fusions win at every production shape (H10: 192.6 vs 194.3
@@ -546,6 +543,13 @@ def convnext_body(
         # scoped VMEM (119.88 vs 110 MiB). The kernel remains available
         # via use_pallas=True as the measurement reference.
         use_pallas = False
+    if use_pallas:
+        # Consulted only when the Pallas path would actually be taken, so
+        # CPU/auto-off dispatches never emit the fence warning.
+        from diffusynth_tpu.ops.dispatch import known_bad_step_batch
+
+        if known_bad_step_batch(B):      # overrides an explicit True
+            use_pallas = False
     if use_pallas:
         external = stats is not None
         if external:
