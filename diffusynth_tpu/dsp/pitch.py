@@ -111,12 +111,7 @@ def pitch_shift(
     return jnp.pad(shifted, pad_widths)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sample_rate", "max_up_steps", "bins_per_octave",
-                     "n_fft"),
-)
-def pitch_shift_batch(
+def _pitch_shift_batch_impl(
     y: jnp.ndarray,
     sample_rate: int,
     n_steps: jnp.ndarray,
@@ -197,3 +192,17 @@ def pitch_shift_batch(
         return jnp.where(jnp.abs(ri - 1.0) < 1e-9, yi, out)
 
     return jax.vmap(one)(y, mag, phase, rate)
+
+
+# AOT-cached entry point: one ~25-80 s remote compile per
+# (batch, length, max_up_steps) bucket is the dominant track-render
+# cold-start term (585 s first render, RESULTS_r3.md section 9), so the
+# compiled executables persist across processes like the sampler/decode
+# programs. AotJit resolves the statics by name whether passed
+# positionally or as keywords, and degrades to plain jax.jit on CPU.
+from diffusynth_tpu.utils.aot_cache import aot_jit as _aot_jit  # noqa: E402
+
+pitch_shift_batch = _aot_jit(
+    _pitch_shift_batch_impl, name="pitch_shift_batch",
+    static_argnames=("sample_rate", "max_up_steps", "bins_per_octave",
+                     "n_fft"))

@@ -99,11 +99,24 @@ class AotJit:
         self._static_argnames = tuple(static_argnames)
         self._jitted = jax.jit(fn, static_argnames=self._static_argnames) \
             if self._static_argnames else jax.jit(fn)
+        if self._static_argnames:
+            import inspect
+
+            self._sig = inspect.signature(fn)
         self._enabled = enabled
         self._compiled: Dict[Tuple, Any] = {}
         self._jitted_static: Dict[Tuple, Any] = {}
         self._lock = threading.Lock()
         self.stats = {"hits": 0, "misses": 0, "bypass": 0}
+
+    def _cache_size(self) -> int:
+        """Distinct compiled programs (parity with jax.jit's accounting —
+        tests use it to pin one-program-per-shape claims)."""
+        n = len(self._compiled) + self._jitted._cache_size()
+        for j in self._jitted_static.values():
+            if j is not self._jitted:
+                n += j._cache_size()
+        return n
 
     def _use_cache(self) -> bool:
         if self._enabled is not None:
@@ -128,23 +141,37 @@ class AotJit:
         if not self._use_cache():
             self.stats["bypass"] += 1
             return self._jitted(*args, **kwargs)
-        # Compiled executables take positional args only: static kwargs are
-        # partial-bound into a per-combination jitted fn; dynamic kwargs
-        # are not supported on the cached path.
-        static_kw = {k: v for k, v in kwargs.items()
-                     if k in self._static_argnames}
-        dynamic_kw = {k: v for k, v in kwargs.items() if k not in static_kw}
-        if dynamic_kw:
-            self.stats["bypass"] += 1
-            return self._jitted(*args, **kwargs)
-        sig = _abstract_signature(args, static_kw)
+        if self._static_argnames:
+            # Resolve statics by NAME regardless of call style (a static
+            # passed positionally must key by VALUE — jax.jit matches
+            # static_argnames against positionals the same way). Dynamics
+            # then travel as keywords end-to-end (lower/compile/execute
+            # accept them), which sidesteps positional re-ordering after
+            # the statics are partial-bound out.
+            try:
+                bound = self._sig.bind(*args, **kwargs)
+            except TypeError:
+                self.stats["bypass"] += 1
+                return self._jitted(*args, **kwargs)
+            static_kw, dyn = {}, {}
+            for k, v in bound.arguments.items():
+                (static_kw if k in self._static_argnames else dyn)[k] = v
+            sig = _abstract_signature(((), tuple(sorted(dyn))), static_kw) \
+                + _abstract_signature(tuple(dyn[k] for k in sorted(dyn)), {})
+            call_args, call_kw = (), dyn
+        else:
+            sig = _abstract_signature(args, {})
+            static_kw, call_args, call_kw = {}, args, {}
+            if kwargs:   # dynamic kwargs on a static-less fn: bypass
+                self.stats["bypass"] += 1
+                return self._jitted(*args, **kwargs)
         with self._lock:
             compiled = self._compiled.get(sig)
         if compiled is None:
-            compiled = self._load_or_compile(args, static_kw)
+            compiled = self._load_or_compile(call_args, static_kw, call_kw)
             with self._lock:
                 self._compiled[sig] = compiled
-        return compiled(*args)
+        return compiled(*call_args, **call_kw)
 
     def _jit_for(self, static_kw):
         key = tuple(sorted(static_kw.items()))
@@ -155,10 +182,10 @@ class AotJit:
             self._jitted_static[key] = j
         return j
 
-    def _load_or_compile(self, args, static_kw):
+    def _load_or_compile(self, args, static_kw, kw=None):
         from jax.experimental import serialize_executable as se
 
-        lowered = self._jit_for(static_kw).lower(*args)
+        lowered = self._jit_for(static_kw).lower(*args, **(kw or {}))
         text = lowered.as_text()
         dev = jax.devices()[0]
         key = hashlib.sha256()
