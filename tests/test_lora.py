@@ -247,3 +247,38 @@ def test_loop_best_gates_on_eval(base, tmp_path):
             for l in open(tmp_path / "runs" / "metrics.jsonl")]
     assert [r["value"] for r in rows if r["name"] == "eval_loss"] == \
         [1.0, 0.5, 2.0, 3.0]
+
+
+def test_from_pretrained_warns_on_missing_sidecar(base, tmp_path):
+    """A missing <name>_UNet_lora.json sidecar silently assumed rank 8 /
+    alpha 16 (r2 advisor finding) — the defaulting must be loud, because
+    a rank mismatch then surfaces as an opaque orbax shape error."""
+    import os
+    import warnings
+
+    from diffusynth_tpu.pipelines import DiffuSynthRuntime
+    from diffusynth_tpu.text import CachedTextEncoder, HashTextEncoder
+    from tests.test_pipelines import tiny_config
+
+    enc = CachedTextEncoder(HashTextEncoder(16))
+    rt = DiffuSynthRuntime(tiny_config(), text_encoder=enc, seed=0)
+    models_dir = str(tmp_path / "models")
+    ckpt = Checkpointer(models_dir)
+    ckpt.save("unet", "UNet", {"variables": rt.unet_variables, "step": 1})
+    adapter = init_lora(rt.unet_variables, jax.random.key(0), rank=8)
+    ckpt.save("ft", "UNet_lora", {"variables": adapter, "step": 1})
+    ckpt.save_hyperparameters("ft", "UNet_lora", {"rank": 8, "alpha": 16.0})
+
+    # sidecar present: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DiffuSynthRuntime.from_pretrained(
+            models_dir, config=tiny_config(), lora_name="ft",
+            text_encoder=enc)
+    # sidecar removed: loud
+    os.remove(os.path.join(models_dir, "hyperparameters",
+                           "ft_UNet_lora.json"))
+    with pytest.warns(UserWarning, match="assuming LoRA rank"):
+        DiffuSynthRuntime.from_pretrained(
+            models_dir, config=tiny_config(), lora_name="ft",
+            text_encoder=enc)

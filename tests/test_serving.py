@@ -499,3 +499,16 @@ def test_build_runtime_from_checkpoint(tmp_path):
     a = jax.tree_util.tree_leaves(rt1.unet_variables)[0]
     b = jax.tree_util.tree_leaves(rt2.unet_variables)[0]
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
+
+
+def test_build_runtime_rejects_roles_without_checkpoint():
+    """--use-ema/--lora-name without --checkpoint would silently serve
+    random weights (r2 advisor finding) — must raise instead."""
+    import pytest
+
+    from diffusynth_tpu.serving.server import build_runtime
+
+    with pytest.raises(ValueError, match="require --checkpoint"):
+        build_runtime(use_ema=True)
+    with pytest.raises(ValueError, match="require --checkpoint"):
+        build_runtime(lora_name="ft")
