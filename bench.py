@@ -124,6 +124,13 @@ def main():
     t0 = time.time()
     run(0)
     compile_s = time.time() - t0
+    # Cache state of THIS run (self-attribution, VERDICT r3 weak #1): any
+    # aot-cache miss means a compile happened during warmup; all-hits is a
+    # warm cache; bypass-only means the cache was off (e.g. CPU backend).
+    from diffusynth_tpu.utils.aot_cache import global_stats
+    aot = global_stats()
+    cache_state = ("cold" if aot["misses"] else
+                   "warm" if aot["hits"] else "off")
 
     # 5 timed runs: the axon tunnel's wall-clock noise band is ~±0.5 s on
     # a 10 s run (RESULTS_r2.md), so a 3-sample median can land a bad
@@ -158,13 +165,33 @@ def main():
         marks.append(time.time())
         p50_pipe = float(np.median(np.diff(marks)))
 
+    # Device-time p50: one extra traced run (fetch off, so the trace sees
+    # device compute without the tunnel transfer). This makes a driver run
+    # self-attributing: wall >> device means tunnel/host overhead, not a
+    # compute regression. Best-effort — a trace failure must not kill the
+    # headline measurement.
+    device_s = None
+    if os.environ.get("DIFFUSYNTH_BENCH_DEVICE_TIME", "1") != "0":
+        try:
+            from benchmarks.device_time import device_time_ms
+            device_s = round(device_time_ms(
+                lambda: run(99, fetch=False), iters=1, warmup=0) / 1e3, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# device-time trace failed ({type(e).__name__}: {e}); "
+                  f"reporting wall only", file=sys.stderr)
+
     p50 = p50_pipe if pipelined else p50_seq
     timbres_per_sec = batch / p50
     # Non-default knobs change WHAT is measured — tag the metric so a
     # knob run can't be pasted as the reference-parity headline number.
+    # "seq" tags the sequential (r1/r2 convention) mode; the default
+    # (untagged) headline is PIPELINED inter-arrival throughput since r3,
+    # and vs_baseline compares it against the 8.0 timbres/s/chip target
+    # (BASELINE.json) under that convention.
     knobs = [k for k in (quant_tag, preset,
                          os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE"),
                          audio_format if audio_format != "int16" else None,
+                         None if pipelined else "seq",
                          None if (sampler, steps) == ("ddim", 50)
                          else f"{sampler}{steps}")
              if k and k != "python"]
@@ -176,6 +203,13 @@ def main():
         "value": round(timbres_per_sec, 3),
         "unit": "timbres/s/chip",
         "vs_baseline": round(timbres_per_sec / 8.0, 3),
+        "mode": "pipelined" if pipelined else "sequential",
+        "wall_s_p50": round(p50, 3),
+        "seq_s_p50": round(p50_seq, 3),
+        "device_s": device_s,
+        "compile_s": round(compile_s, 1),
+        "cache": cache_state,
+        "aot": {k: v for k, v in aot.items() if v},
     }
     print(json.dumps(result))
     pipe_note = (f"pipelined p50 {p50_pipe:.3f}s / sequential p50 "

@@ -9,17 +9,21 @@ batch-128 program compiled fine the same day). Because a single bad compile
 takes the shared device down for hours, the fence errs on the side of
 falling back to the equivalence-tested XLA formulations.
 
-Unlike the sampler's scan fence (diffusion/sampler.py::
-_known_bad_scan_signature, whose fault no longer reproduces and whose
-denylist is therefore empty), this fence ships with a DEFAULT denylist of
-{64}: the batch-64 step program is the CONFIRMED 2026-08-17 wedge signature
-and, absent a fence, any library caller (harness config-2 at cfg=1.0, a
-bench sweep, a direct pipeline user with batchsize=64 and no negative
-prompt) could compile it accidentally. The XLA fallback the fence selects
-is equivalence-tested and its compile was never observed to wedge.
+History of the default denylist:
+  * r3 (2026-08-20): shipped with {64} — the confirmed 2026-08-17 wedge
+    signature — because the signature was unprobed on the then-current
+    backend.
+  * r4 (2026-08-20): the probe ran at round start per docs/SCAN_FAULT.md:
+    TWO independent fresh compiles of the exact wedge signature
+    (unconditional batch-64 step program WITH Mosaic attention sites,
+    harness config 2 at cfg=1.0) compiled in 33-34 s and ran clean
+    (9.77/9.80 s p50, 6.55/6.53 timbres/s/chip — faster than the fenced
+    XLA fallback's 10.31 s). The backend fixed it, like the r1 scan fault
+    and the r2 AOT slow-load. The DEFAULT denylist is therefore EMPTY
+    again; the mechanism stays wired for the next regression.
 
-    DIFFUSYNTH_BAD_STEP_BATCHES unset     # default: {64}
-    DIFFUSYNTH_BAD_STEP_BATCHES=none      # clear (backend known fixed)
+    DIFFUSYNTH_BAD_STEP_BATCHES unset     # default: {} (r4 probe clean)
+    DIFFUSYNTH_BAD_STEP_BATCHES=none      # explicit clear
     DIFFUSYNTH_BAD_STEP_BATCHES=64,96     # explicit list (batch dims as
                                           #  seen by the kernel; CFG doubles
                                           #  the sampler batch)
@@ -37,7 +41,7 @@ import warnings
 from typing import Set
 
 _ENV = "DIFFUSYNTH_BAD_STEP_BATCHES"
-_DEFAULT_BAD: Set[int] = {64}   # confirmed wedge (docs/SCAN_FAULT.md)
+_DEFAULT_BAD: Set[int] = set()   # r4 probe clean (docs/SCAN_FAULT.md)
 _warned: Set[int] = set()
 
 
@@ -68,6 +72,6 @@ def known_bad_step_batch(batch: int) -> bool:
         warnings.warn(
             f"Mosaic kernel dispatch fenced at batch {batch} "
             f"({origin}): falling back to the XLA formulation to avoid "
-            f"a known remote-compiler wedge (docs/SCAN_FAULT.md, "
-            f"2026-08-17 appendix); set {_ENV}=none to clear", stacklevel=3)
+            f"a known remote-compiler wedge (docs/SCAN_FAULT.md); "
+            f"set {_ENV}=none to clear", stacklevel=3)
     return True

@@ -76,6 +76,10 @@ class NSynthDataset:
             assert candidates, (
                 f"no {wanted} dataset in {path}: {list(self._h5.keys())}")
             key = candidates[0]
+        self._key = key
+        self._bind(key)
+
+    def _bind(self, key: str) -> None:
         self._data = self._h5[key]
         self._channels_first = self._data.shape[1] in (3, 4) and \
             self._data.shape[-1] not in (3, 4)
@@ -173,7 +177,10 @@ class NSynthDataset:
                 del h5[name]
             h5.create_dataset(name, data=latents)
         self._h5 = h5py.File(self.path, "r")
-        self._data = self._h5["STFT"]
+        # Re-bind the ORIGINAL dataset key: a task="latent" dataset must
+        # keep yielding latents after the write-back, not silently switch
+        # to spectrograms (advisor finding r3).
+        self._bind(self._key)
         return latents.shape
 
 

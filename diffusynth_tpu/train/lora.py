@@ -311,9 +311,13 @@ def train_diffusion_lora(
         step += K
         if crossed(step, 100):
             logger.log("loss_100", losses.mean(max(1, 100 // K)), step)
-        improved = True
-        if eval_fn is not None and (crossed(step, eval_every)
-                                    or step >= cfg.max_iter):
+        # Best-gating: with eval_fn set, EVERY save is gated on an actual
+        # evaluated improvement at this step — a save_steps crossing that is
+        # not an eval crossing must not overwrite the best-gated checkpoint
+        # with an unevaluated (possibly worse) adapter state.
+        improved = eval_fn is None
+        final = step >= cfg.max_iter
+        if eval_fn is not None and (crossed(step, eval_every) or final):
             metric = float(eval_fn(lora, step))
             logger.log("eval_loss", metric, step)
             improved = metric < best_metric
@@ -321,7 +325,8 @@ def train_diffusion_lora(
                 best_metric = metric
         if checkpointer and improved and (
                 crossed(step, cfg.save_steps)
-                or (eval_fn is not None and crossed(step, eval_every))):
+                or (eval_fn is not None
+                    and (crossed(step, eval_every) or final))):
             checkpointer.save(cfg.model_name, "UNet_lora",
                               {"variables": lora, "step": step})
             checkpointer.save_hyperparameters(

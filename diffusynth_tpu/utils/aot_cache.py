@@ -40,6 +40,9 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import jax
 
 
+_GLOBAL_STATS = {"hits": 0, "misses": 0, "bypass": 0}
+
+
 def _enabled() -> bool:
     return os.environ.get("DIFFUSYNTH_AOT_CACHE", "1") not in ("0", "false")
 
@@ -109,6 +112,13 @@ class AotJit:
         self._lock = threading.Lock()
         self.stats = {"hits": 0, "misses": 0, "bypass": 0}
 
+    def _bump(self, key: str) -> None:
+        """Count on the instance AND the process-wide totals — instances
+        can be short-lived (model inits), but global_stats() must still
+        see their hits/misses for cache-state attribution."""
+        self.stats[key] += 1
+        _GLOBAL_STATS[key] += 1
+
     def _cache_size(self) -> int:
         """Distinct compiled programs (parity with jax.jit's accounting —
         tests use it to pin one-program-per-shape claims)."""
@@ -139,7 +149,7 @@ class AotJit:
 
     def __call__(self, *args, **kwargs):
         if not self._use_cache():
-            self.stats["bypass"] += 1
+            self._bump("bypass")
             return self._jitted(*args, **kwargs)
         if self._static_argnames:
             # Resolve statics by NAME regardless of call style (a static
@@ -151,7 +161,7 @@ class AotJit:
             try:
                 bound = self._sig.bind(*args, **kwargs)
             except TypeError:
-                self.stats["bypass"] += 1
+                self._bump("bypass")
                 return self._jitted(*args, **kwargs)
             static_kw, dyn = {}, {}
             for k, v in bound.arguments.items():
@@ -163,7 +173,7 @@ class AotJit:
             sig = _abstract_signature(args, {})
             static_kw, call_args, call_kw = {}, args, {}
             if kwargs:   # dynamic kwargs on a static-less fn: bypass
-                self.stats["bypass"] += 1
+                self._bump("bypass")
                 return self._jitted(*args, **kwargs)
         with self._lock:
             compiled = self._compiled.get(sig)
@@ -210,7 +220,7 @@ class AotJit:
                 loaded = se.deserialize_and_load(
                     payload, in_tree, out_tree,
                     execution_devices=[by_id[i] for i in dev_ids])
-                self.stats["hits"] += 1
+                self._bump("hits")
                 print(f"[aot-cache] {self._name}: loaded {path.name} "
                       f"in {time.time()-t0:.1f}s (no compile)", flush=True)
                 return loaded
@@ -220,7 +230,7 @@ class AotJit:
 
         t0 = time.time()
         compiled = lowered.compile()
-        self.stats["misses"] += 1
+        self._bump("misses")
         try:
             payload, in_tree, out_tree = se.serialize(compiled)
             # Record the device assignment the program was compiled for —
@@ -252,6 +262,17 @@ class AotJit:
             print(f"[aot-cache] {self._name}: serialize failed "
                   f"({type(e).__name__}: {e}); caching skipped", flush=True)
         return compiled
+
+
+def global_stats() -> Dict[str, int]:
+    """Process-wide hit/miss/bypass totals across every AotJit instance
+    ever created (including ones since garbage-collected — counters
+    accumulate in _GLOBAL_STATS at bump time, not by walking instances).
+
+    Lets the benchmark/serving artifacts record the CACHE STATE of a run
+    (all-hits = warm cache; any miss = a compile happened) so a slow run
+    is attributable from the JSON alone."""
+    return dict(_GLOBAL_STATS)
 
 
 def aot_jit(fn: Callable, *, name: Optional[str] = None,

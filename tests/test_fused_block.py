@@ -295,11 +295,12 @@ class TestStepBatchFence:
     def test_predicate(self, monkeypatch):
         from diffusynth_tpu.ops import dispatch
 
-        # Default-on for the confirmed wedge signature (batch 64): the
-        # fence must hold with NO environment configuration, so a library
-        # caller cannot compile the bad program accidentally.
+        # Default denylist is EMPTY since r4: two fresh compiles of the
+        # 2026-08-17 wedge signature ran clean after a backend update
+        # (docs/SCAN_FAULT.md round-4 entry). The default must track the
+        # measured backend state, not a stale workaround.
         monkeypatch.delenv("DIFFUSYNTH_BAD_STEP_BATCHES", raising=False)
-        assert dispatch.known_bad_step_batch(64)
+        assert not dispatch.known_bad_step_batch(64)
         assert not dispatch.known_bad_step_batch(128)
         assert not dispatch.known_bad_step_batch(96)
         # Explicit clear for operators on a fixed backend.

@@ -249,6 +249,62 @@ def test_loop_best_gates_on_eval(base, tmp_path):
         [1.0, 0.5, 2.0, 3.0]
 
 
+def _scripted_loop(base, tmp_path, evals, max_iter, save_steps, eval_every):
+    """Run train_diffusion_lora with a scripted eval curve; return the
+    restored UNet_lora checkpoint's step (None if nothing was saved)."""
+    from diffusynth_tpu.train.logging import MetricLogger
+
+    _, params, _, _ = base
+    rng = np.random.default_rng(7)
+
+    def it():
+        while True:
+            yield (rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+                   {"instrument_str": ["a", "b"]})
+
+    def eval_fn(lora, step):
+        return evals[step]
+
+    cfg = DiffusionTrainConfig(batch_size=2, max_iter=max_iter,
+                               save_steps=save_steps, timesteps=50,
+                               model_name="sg")
+    ckpt = Checkpointer(str(tmp_path / "models"))
+    train_diffusion_lora(
+        SMALL_UNET, cfg, it(),
+        lambda attrs: rng.standard_normal((2, 16)).astype(np.float32),
+        np.zeros(16, np.float32), params,
+        rank=4, checkpointer=ckpt, eval_fn=eval_fn, eval_every=eval_every,
+        logger=MetricLogger(str(tmp_path / "runs"), use_tensorboard=False))
+    template = {"variables": init_lora(params, jax.random.key(0), rank=4),
+                "step": 0}
+    try:
+        return int(ckpt.restore("sg", "UNet_lora", template)["step"])
+    except Exception:  # noqa: BLE001 — nothing saved
+        return None
+
+
+def test_save_steps_crossing_never_saves_unevaluated(base, tmp_path):
+    """With eval_fn set, a save_steps crossing that is NOT an eval crossing
+    must not overwrite the best-gated checkpoint with the current
+    unevaluated adapter (advisor finding r3, train/lora.py best-gating
+    hole). Here the only improvement is at step 2; the save_steps=5
+    crossing at step 5 falls between evals and must not save."""
+    step = _scripted_loop(base, tmp_path,
+                          evals={2: 0.5, 4: 1.0, 6: 2.0},
+                          max_iter=6, save_steps=5, eval_every=2)
+    assert step == 2
+
+
+def test_final_eval_improvement_is_saved(base, tmp_path):
+    """max_iter not a multiple of save_steps/eval_every: the forced final
+    eval's improvement must be checkpointed, not computed and lost
+    (advisor finding r3, train/lora.py final-eval hole)."""
+    step = _scripted_loop(base, tmp_path,
+                          evals={3: 1.0, 6: 0.8, 7: 0.1},
+                          max_iter=7, save_steps=100, eval_every=3)
+    assert step == 7
+
+
 def test_from_pretrained_warns_on_missing_sidecar(base, tmp_path):
     """A missing <name>_UNet_lora.json sidecar silently assumed rank 8 /
     alpha 16 (r2 advisor finding) — the defaulting must be loud, because

@@ -473,6 +473,22 @@ class TestServingHardening:
         assert {"task": "inp", "width": 16, "batch": 1} in body["compiled"]
 
 
+def test_warmup_manifest_default_keyword():
+    """--warmup-manifest default resolves the built-in serving-default
+    manifest (no file read) and feeds every entry to warmup (VERDICT r3 #4:
+    boot pre-warm so the first request never pays a compile)."""
+    from diffusynth_tpu.serving.server import DiffuSynthServer
+
+    seen = []
+    srv = object.__new__(DiffuSynthServer)   # no runtime/model init needed
+    srv.warmup = seen.append
+    DiffuSynthServer.warmup_from_manifest(srv, "default")
+    assert seen == DiffuSynthServer.DEFAULT_MANIFEST
+    entry = seen[0]
+    assert set(entry["tasks"]) == {"t2s", "s2s", "inp"}
+    assert entry["widths"] == [64] and 1 in entry["batch_sizes"]
+
+
 def test_build_runtime_from_checkpoint(tmp_path):
     """The serving CLI's --checkpoint/--use-ema/--lora-name wiring: weights
     load through from_pretrained; all-defaults returns None (make_server

@@ -772,6 +772,34 @@ class TestReferenceHDF5Schema:
         assert z.shape == q.shape == (2, self.F // 4, self.T // 4, self.C)
         assert not np.allclose(z, q)   # quantization must have acted
 
+    def test_latent_dataset_survives_write_back(self, tmp_path):
+        """A task="latent" dataset must KEEP yielding latents after
+        create_latent_representation's file-handle cycle — not silently
+        switch to spectrograms (advisor finding r3, train/data.py)."""
+        from diffusynth_tpu.nn.vqgan import VQGAN
+        from diffusynth_tpu.train import NSynthDataset
+
+        path = self._write_fixture(tmp_path / "f.hdf5", with_latents=True)
+        vqgan = VQGAN(VQGANConfig(in_channels=3, hidden_channels=(4, 8),
+                                  attn_pos=(), embedding_dim=self.C,
+                                  num_embeddings=16, num_groups=2))
+        variables = vqgan.init(jax.random.key(0),
+                               jnp.zeros((1, self.F, self.T, 3)))
+
+        class RT:
+            pass
+
+        rt = RT()
+        rt.vqgan, rt.vqgan_variables = vqgan, variables
+
+        ds = NSynthDataset(path, task="latent")
+        before, _ = ds.get_batch(np.arange(2))
+        assert before.shape == (2, self.LH, self.LW, self.C)
+        ds.create_latent_representation(rt, quantize=True, batch_size=5)
+        after, _ = ds.get_batch(np.arange(2))
+        assert after.shape == (2, self.LH, self.LW, self.C), (
+            "dataset re-bound to the wrong HDF5 key after write-back")
+
     def test_training_cli_roundtrip(self, tmp_path):
         """The full day-one path: reference-schema file -> train.run CLI
         (--tiny diffusion on latent_representation) -> checkpoint."""
