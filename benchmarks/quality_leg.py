@@ -52,7 +52,9 @@ from diffusynth_tpu.configs import (
 from benchmarks.int8_trained_fidelity import CKPT_NAME, CKPT_ROOT
 
 N = 64                      # samples per config (VERDICT: N>=64)
-TE_ITERS = 1200             # timbre-encoder training iterations
+TE_ITERS = 400              # timbre-encoder training iterations (the
+                            # synthetic class structure saturates well
+                            # before this; final accuracies are logged)
 TE_CKPT_ROOT = "runs/r4_quality/models"
 TE_CKPT_NAME = "r4te"
 SAMPLERS = (("ddim", 50), ("dpmpp", 25), ("ddim", 20))
@@ -97,8 +99,12 @@ def get_timbre_classifier(app: AppConfig):
         print(f"[te] restored {TE_CKPT_ROOT}/{TE_CKPT_NAME}", flush=True)
     else:
         ds = synthetic_dataset(app)
-        cfg = TimbreTrainConfig(max_iter=TE_ITERS, save_steps=TE_ITERS,
-                                model_name=TE_CKPT_NAME)
+        # steps_per_dispatch=8: one device dispatch per 8 optimizer steps —
+        # per-step tunnel round trips made K=1 training ~2 s/step here.
+        cfg = TimbreTrainConfig(max_iter=TE_ITERS,
+                                save_steps=max(1, TE_ITERS // 4),
+                                model_name=TE_CKPT_NAME,
+                                steps_per_dispatch=8)
         t0 = time.time()
         params, _ = train_timbre_encoder(
             te_cfg, cfg, data_iterator(ds, cfg.batch_size, seed=3),
