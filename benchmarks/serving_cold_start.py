@@ -44,12 +44,12 @@ def post(path: str, body: dict, timeout: float = 900.0) -> dict:
 
 
 def main():
+    global PORT
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-warmup", action="store_true",
                     help="boot without the manifest (r3 behavior)")
     ap.add_argument("--port", type=int, default=PORT)
     args = ap.parse_args()
-    global PORT
     PORT = args.port
 
     cmd = [sys.executable, "-u", "-m", "diffusynth_tpu.serving.server",

@@ -273,6 +273,25 @@ class DiffSynthSampler:
             ridx, _ = noise_lib.repeat_indices(width, train_width)
             ridx = jnp.asarray(ridx)
 
+        # Program identity for the AOT cache's FAST path (skips the
+        # 30-170 s trace/lower on later processes, aot_cache.py): the
+        # static signature + everything else this closure bakes into the
+        # lowered program — the respaced schedule arrays, model identity
+        # (config + dtype + quantize via program_identity), geometry, and
+        # sharding. An under-described identity would load a stale
+        # program, so anything new baked into `loop`/`_body_impl` below
+        # MUST be added here.
+        import hashlib as _hashlib
+
+        _sched_id = _hashlib.sha256(
+            np.asarray(sched.timestep_map).tobytes()
+            + np.asarray(sched.alphas_cumprod, np.float64).tobytes()
+        ).hexdigest()[:16]
+        fast_id = ("sampler", repr(sig), _sched_id,
+                   getattr(unet_apply, "program_identity", None),
+                   height, channels, train_width, self.max_width,
+                   strategy, repr(self.batch_sharding))
+
         def loop(params, init_img, cond, uncond, guide, init_noise,
                  mask_profiles, static_mask, key, cfg_scale):
             """One fully-fused sampling run."""
@@ -436,8 +455,8 @@ class DiffSynthSampler:
                 return img
 
             from diffusynth_tpu.utils.aot_cache import aot_jit
-            jitted_step = aot_jit(_body_impl,
-                                  name="sampler_step")
+            jitted_step = aot_jit(_body_impl, name="sampler_step",
+                                  fast_key=fast_id)
             # For the euler/ancestral solvers x0_prev is an unused traced
             # placeholder (DCE'd by XLA); dpmpp threads the previous x0
             # estimate through it (2M multistep history).
@@ -472,7 +491,8 @@ class DiffSynthSampler:
                         body, (img, x0_prev), (i_w, masks_w, keys_w))
                     return img, x0_prev, traj
 
-                jitted_window = aot_jit(_window_impl, name="sampler_window")
+                jitted_window = aot_jit(_window_impl, name="sampler_window",
+                                        fast_key=fast_id + ("W", W))
 
             def python_loop(params, init_img, cond, uncond, guide, init_noise,
                             mask_profiles, static_mask, key, cfg_scale):
@@ -511,7 +531,7 @@ class DiffSynthSampler:
             return python_loop
 
         from diffusynth_tpu.utils.aot_cache import aot_jit
-        jitted = aot_jit(loop, name="sampler_loop")
+        jitted = aot_jit(loop, name="sampler_loop", fast_key=fast_id)
         self._loop_cache[sig] = jitted
         return jitted
 

@@ -74,13 +74,21 @@ class DiffuSynthRuntime:
         # dominant cold-start term.
         from diffusynth_tpu.utils.aot_cache import aot_jit
 
+        # fast_key: the full program identity of each init (model config +
+        # compute dtype) — later processes then skip trace/lower and
+        # deserialize directly (aot_cache.py fast path).
         if vqgan_variables is None:
             x0 = jnp.zeros((1, a.freq_resolution, a.time_resolution, 3))
-            vqgan_variables = aot_jit(self.vqgan.init,
-                                      name="vqgan_init")(k_vq, x0)
+            vqgan_variables = aot_jit(
+                self.vqgan.init, name="vqgan_init",
+                fast_key=("init", repr(self.config.vqgan),
+                          self.config.compute_dtype))(k_vq, x0)
         if unet_variables is None:
             z0 = jnp.zeros((1, a.latent_height, 8, a.channels))
-            unet_variables = aot_jit(self.unet.init, name="unet_init")(
+            unet_variables = aot_jit(
+                self.unet.init, name="unet_init",
+                fast_key=("init", repr(self.config.unet),
+                          self.config.compute_dtype))(
                 k_unet, z0, jnp.zeros(1, jnp.int32),
                 jnp.zeros((1, self.config.unet.label_emb_dim)),
             )
@@ -100,6 +108,10 @@ class DiffuSynthRuntime:
         # then runs the condition-independent U-Net prefix once per step
         # instead of twice (RESULTS_r2.md H13).
         unet_apply.supports_cfg_dual = True
+        # Program identity for the sampler's fast-keyed AOT entries
+        # (everything this closure bakes into a lowered step program).
+        unet_apply.program_identity = (repr(self.config.unet),
+                                       self.config.compute_dtype)
         self.unet_apply = unet_apply
 
     @classmethod
@@ -211,8 +223,11 @@ class DiffuSynthRuntime:
 
         from diffusynth_tpu.utils.aot_cache import aot_jit
 
-        @functools.partial(aot_jit, name="decode",
-                           static_argnames=("quantize", "audio_format"))
+        @functools.partial(
+            aot_jit, name="decode",
+            static_argnames=("quantize", "audio_format"),
+            fast_key=("decode", repr(self.config.vqgan),
+                      repr(self.config.audio), self.config.compute_dtype))
         def decode(variables, latents, quantize=True, audio_format="f32"):
             if quantize:
                 latents, _, _ = vqgan.apply(
@@ -264,7 +279,10 @@ class DiffuSynthRuntime:
 
         from diffusynth_tpu.utils.aot_cache import aot_jit
 
-        @functools.partial(aot_jit, name="encode")
+        @functools.partial(
+            aot_jit, name="encode",
+            fast_key=("encode", repr(self.config.vqgan),
+                      repr(self.config.audio), self.config.compute_dtype))
         def encode(variables, audio):
             D = stft(audio, a.n_fft, a.hop_length, a.win_length)
             enc = encode_stft(pad_stft(D, None))      # (B, F, T, 3)

@@ -441,6 +441,17 @@ class DiffuSynthServer:
                         sig = (task, w, steps, strength, cfg != 1.0, sampler)
                     self._run_batch(sig, rows)
                     compiled.append({"task": task, "width": w, "batch": b})
+            if task in ("s2s", "inp"):
+                # Warm the upload-encode program too: _encode_upload runs
+                # OUTSIDE the batcher, so without this the first real
+                # guided request still paid its encode compile (measured
+                # +3.5 s over steady state, RESULTS_r4.md section 5).
+                for w in widths:
+                    # Inverse of width_from_duration (configs.py:49-51).
+                    dur = 4.0 * int(w) * a.vae_scale / a.time_resolution - 1.0
+                    t = np.arange(a.sample_rate) / a.sample_rate
+                    wave = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+                    self.s2s.encode_origin_audio(wave, a.sample_rate, dur)
         return {"compiled": compiled}
 
     # The built-in "default" manifest covers the serving defaults (width 64,

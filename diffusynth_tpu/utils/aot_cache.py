@@ -15,8 +15,22 @@ Usage — a drop-in jit wrapper:
     y = step(x, t)          # first process: compile + persist
                             # later processes: load, no compile
 
+Two keying modes:
+  * exact (always on): key = SHA-256 of the lowered StableHLO text —
+    requires tracing + lowering the function first (~30-170 s of host
+    time for the big sampler/decode programs on this 1-core box,
+    benchmarks/cold_start_breakdown.py).
+  * fast (opt-in per call site via fast_key=...): the call site supplies
+    its full program identity (configs, schedule digests, geometry); the
+    key is then computable WITHOUT tracing, and warm-cache processes
+    deserialize directly. Wrong/incomplete identities degrade to a
+    recompile via the exact path — they never silently load a stale
+    program unless the caller's identity genuinely under-describes the
+    closure (which is why each site documents what it must include).
+
 Environment:
     DIFFUSYNTH_AOT_CACHE=0        disable (plain jax.jit behavior)
+    DIFFUSYNTH_AOT_FAST=0         disable only the fast-key path
     DIFFUSYNTH_AOT_CACHE_DIR=...  cache directory
     (default ~/.cache/diffusynth_tpu/aot)
 
@@ -30,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import json
 import os
 import pickle
 import threading
@@ -45,6 +60,44 @@ _GLOBAL_STATS = {"hits": 0, "misses": 0, "bypass": 0}
 
 def _enabled() -> bool:
     return os.environ.get("DIFFUSYNTH_AOT_CACHE", "1") not in ("0", "false")
+
+
+def _fast_enabled() -> bool:
+    return os.environ.get("DIFFUSYNTH_AOT_FAST", "1") not in ("0", "false")
+
+
+_CODE_DIGEST: Optional[str] = None
+
+
+def _code_digest() -> str:
+    """Content hash of every .py file in the diffusynth_tpu package —
+    part of the fast-key fingerprint so ANY source change invalidates
+    fast-key entries (they then fall back to the exact lowered-text
+    path and re-index)."""
+    global _CODE_DIGEST
+    if _CODE_DIGEST is None:
+        import diffusynth_tpu
+
+        root = Path(diffusynth_tpu.__file__).parent
+        h = hashlib.sha256()
+        for p in sorted(root.rglob("*.py")):
+            h.update(p.as_posix().encode())
+            h.update(p.read_bytes())
+        _CODE_DIGEST = h.hexdigest()
+    return _CODE_DIGEST
+
+
+def _env_fingerprint() -> str:
+    """Environment that can change what a program lowers to: every
+    DIFFUSYNTH_* toggle (kernel fences, prefix sharing, ...) except the
+    cache's own switches, plus XLA/JAX flags."""
+    items = sorted(
+        (k, v) for k, v in os.environ.items()
+        if (k.startswith("DIFFUSYNTH_") and not k.startswith(
+            "DIFFUSYNTH_AOT_")) or k in ("XLA_FLAGS", "JAX_PLATFORMS")
+        or k.startswith("JAX_")
+    )
+    return repr(items)
 
 
 def cache_dir() -> Path:
@@ -96,8 +149,24 @@ class AotJit:
 
     def __init__(self, fn: Callable, *, name: Optional[str] = None,
                  static_argnames: Sequence[str] = (),
-                 enabled: Optional[bool] = None):
+                 enabled: Optional[bool] = None,
+                 fast_key: Optional[object] = None):
+        """fast_key: opt-in program identity for the FAST load path. The
+        slow path traces + lowers the function to hash the StableHLO —
+        30-170 s of host time for the big sampler/decode programs
+        (measured, benchmarks/cold_start_breakdown.py r4). When the call
+        site can describe everything its closure bakes into the program
+        (configs, schedule arrays, geometry), pass it here: later
+        processes then key the disk entry by
+        sha256(jax version, device kind+count, package code digest, env
+        fingerprint, repr(fast_key), abstract arg signature) and
+        deserialize DIRECTLY, skipping trace/lower entirely. Any miss or
+        load failure falls back to the exact lowered-text path and
+        re-records the index entry, so a wrong/incomplete fast_key can
+        cost a recompile but never load the wrong program unless the
+        caller's identity genuinely under-describes the closure."""
         self._fn = fn
+        self._fast_key = fast_key
         self._name = name or getattr(fn, "__name__", "fn")
         self._static_argnames = tuple(static_argnames)
         self._jitted = jax.jit(fn, static_argnames=self._static_argnames) \
@@ -178,10 +247,88 @@ class AotJit:
         with self._lock:
             compiled = self._compiled.get(sig)
         if compiled is None:
-            compiled = self._load_or_compile(call_args, static_kw, call_kw)
+            fk = self._fast_digest(sig)
+            compiled = self._fast_load(fk) if fk else None
+            if compiled is None:
+                compiled = self._load_or_compile(call_args, static_kw,
+                                                 call_kw, fast_digest=fk)
             with self._lock:
                 self._compiled[sig] = compiled
         return compiled(*call_args, **call_kw)
+
+    # -- fast path: skip trace/lower when the call site supplied identity --
+
+    def _fast_digest(self, sig) -> Optional[str]:
+        if self._fast_key is None or not _fast_enabled():
+            return None
+        dev = jax.devices()[0]
+        h = hashlib.sha256()
+        for part in (jax.__version__,
+                     getattr(dev, "device_kind", str(dev)),
+                     str(jax.device_count()), self._name, _code_digest(),
+                     _env_fingerprint(), repr(self._fast_key), repr(sig)):
+            h.update(part.encode())
+            h.update(b"\x00")
+        return h.hexdigest()[:24]
+
+    def _index_path(self) -> Path:
+        return cache_dir() / f"{self._name}-fastindex.json"
+
+    def _fast_load(self, fk: str):
+        from jax.experimental import serialize_executable as se
+
+        try:
+            with open(self._index_path()) as f:
+                index = json.load(f)
+            entry = index.get(fk)
+            if not entry:
+                return None
+            path = cache_dir() / entry
+            t0 = time.time()
+            with open(path, "rb") as f:
+                raw = f.read()
+            if raw[:4] == b"DSZ1":
+                import zlib
+
+                raw = zlib.decompress(raw[4:])
+            payload, in_tree, out_tree, dev_ids = pickle.loads(raw)
+            by_id = {d.id: d for d in jax.devices()}
+            loaded = se.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in dev_ids])
+            self._bump("hits")
+            print(f"[aot-cache] {self._name}: fast-keyed load of "
+                  f"{entry} in {time.time()-t0:.1f}s (no trace/lower)",
+                  flush=True)
+            return loaded
+        except FileNotFoundError:
+            return None
+        except Exception as e:  # noqa: BLE001 — fall back to the slow path
+            print(f"[aot-cache] {self._name}: fast-key load failed "
+                  f"({type(e).__name__}: {e}); falling back to "
+                  f"lowered-text keying", flush=True)
+            return None
+
+    def _record_fast(self, fk: Optional[str], aot_filename: str) -> None:
+        if not fk:
+            return
+        try:
+            path = self._index_path()
+            index = {}
+            if path.exists():
+                try:
+                    with open(path) as f:
+                        index = json.load(f)
+                except Exception:  # noqa: BLE001 — self-heal a corrupt index
+                    index = {}
+            index[fk] = aot_filename
+            tmp = path.with_suffix(".tmp-%d" % os.getpid())
+            with open(tmp, "w") as f:
+                json.dump(index, f, indent=0)
+            tmp.replace(path)
+        except Exception as e:  # noqa: BLE001 — index is best-effort
+            print(f"[aot-cache] {self._name}: fast-index write failed "
+                  f"({type(e).__name__}: {e})", flush=True)
 
     def _jit_for(self, static_kw):
         key = tuple(sorted(static_kw.items()))
@@ -192,7 +339,7 @@ class AotJit:
             self._jitted_static[key] = j
         return j
 
-    def _load_or_compile(self, args, static_kw, kw=None):
+    def _load_or_compile(self, args, static_kw, kw=None, fast_digest=None):
         from jax.experimental import serialize_executable as se
 
         lowered = self._jit_for(static_kw).lower(*args, **(kw or {}))
@@ -221,6 +368,7 @@ class AotJit:
                     payload, in_tree, out_tree,
                     execution_devices=[by_id[i] for i in dev_ids])
                 self._bump("hits")
+                self._record_fast(fast_digest, path.name)
                 print(f"[aot-cache] {self._name}: loaded {path.name} "
                       f"in {time.time()-t0:.1f}s (no compile)", flush=True)
                 return loaded
@@ -255,6 +403,7 @@ class AotJit:
             with open(tmp, "wb") as f:
                 f.write(blob)
             tmp.replace(path)
+            self._record_fast(fast_digest, path.name)
             print(f"[aot-cache] {self._name}: compiled in "
                   f"{time.time()-t0:.1f}s, cached {len(payload)/1e6:.1f} MB"
                   f"{note} -> {path.name}", flush=True)
@@ -277,7 +426,11 @@ def global_stats() -> Dict[str, int]:
 
 def aot_jit(fn: Callable, *, name: Optional[str] = None,
             static_argnames: Sequence[str] = (),
-            enabled: Optional[bool] = None) -> AotJit:
-    """Drop-in jax.jit replacement with the persistent executable cache."""
+            enabled: Optional[bool] = None,
+            fast_key: Optional[object] = None) -> AotJit:
+    """Drop-in jax.jit replacement with the persistent executable cache.
+
+    fast_key (opt-in): see AotJit.__init__ — lets later processes skip
+    the 30-170 s trace/lower step entirely for big programs."""
     return AotJit(fn, name=name, static_argnames=static_argnames,
-                  enabled=enabled)
+                  enabled=enabled, fast_key=fast_key)
