@@ -31,19 +31,25 @@ BATCH = 64
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
+    """Bucket an 'XLA Ops'-plane event name (e.g. '%convert_reduce_fusion.3
+    = (f32[128]...' or '%fusion.937 = ...') by what the op IS."""
+    n = name.lower().lstrip("%")
     if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
         return "mosaic custom-call"
-    if n.startswith(("convolution", "conv")) or ".conv" in n:
-        return "convolution (MXU)"
+    if "reduce_fusion" in n or "reduce_window" in n or n.startswith(
+            ("reduce", "convert_reduce")):
+        return "reduce fusion (GN stats / HBM)"
+    if "convolution" in n or n.startswith("conv"):
+        return "convolution (+epilogue fusions, MXU)"
     if n.startswith(("dot", "gemm")) or "dot_general" in n:
         return "matmul (MXU)"
-    if n.startswith("fusion") or ".fusion" in n:
-        return "fusion (elementwise/HBM)"
-    if n.startswith(("copy", "transpose", "bitcast", "reshape")):
+    if n.startswith(("copy", "transpose", "bitcast", "reshape", "slice",
+                     "concatenate", "dynamic")):
         return "copy/layout"
     if n.startswith(("all-reduce", "all-gather", "collective")):
         return "collective"
+    if "fusion" in n:
+        return "other fusion (elementwise/HBM)"
     return "other"
 
 
