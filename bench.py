@@ -97,10 +97,14 @@ def main():
         app = dataclasses.replace(app, unet=dataclasses.replace(
             base, quantize=app.unet.quantize))
 
+    # loop_mode: the runtime default ("scan" since r4 — measured faster
+    # on device than the python step loop, RESULTS_r4.md section 8).
+    # DIFFUSYNTH_BENCH_LOOP_MODE overrides and tags the metric.
+    loop_mode = os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE")
+    runtime_kw = {"loop_mode": loop_mode} if loop_mode else {}
     runtime = DiffuSynthRuntime(
         app, text_encoder=CachedTextEncoder(HashTextEncoder(512)),
-        seed=0,
-        loop_mode=os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE", "python"),
+        seed=0, **runtime_kw,
     )
     pipe = Text2SoundPipeline(runtime)
 
@@ -189,12 +193,12 @@ def main():
     # and vs_baseline compares it against the 8.0 timbres/s/chip target
     # (BASELINE.json) under that convention.
     knobs = [k for k in (quant_tag, preset,
-                         os.environ.get("DIFFUSYNTH_BENCH_LOOP_MODE"),
+                         loop_mode if loop_mode != "scan" else None,
                          audio_format if audio_format != "int16" else None,
                          None if pipelined else "seq",
                          None if (sampler, steps) == ("ddim", 50)
                          else f"{sampler}{steps}")
-             if k and k != "python"]
+             if k]
     metric = "timbres_per_sec_per_chip_b64_ddim50_cfg"
     if knobs:
         metric += "_" + "_".join(knobs)

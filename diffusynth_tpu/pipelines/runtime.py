@@ -51,10 +51,22 @@ class DiffuSynthRuntime:
         text_encoder=None,
         seed: int = 0,
         mesh=None,
-        loop_mode: str = "python",
+        loop_mode: str = "scan",
     ):
         """mesh: optional jax.sharding.Mesh - batched generation (timbres,
-        MIDI notes) shards its batch axis over it (DP over ICI)."""
+        MIDI notes) shards its batch axis over it (DP over ICI).
+
+        loop_mode: "scan" (default since r4) runs the whole denoising
+        loop as ONE fused lax.scan program — measured 8.887 s device vs
+        the python step loop's 9.016 s for the b64/50-step headline
+        (two independent runs each, RESULTS_r4.md §8), compiles in
+        ~55 s on the current backend (vs 354-621 s when the r1 scan
+        fault forced the python default), and cold-starts with ~4 tiny
+        helper programs instead of ~33. "python" (per-step dispatch)
+        and "window" remain available and equivalence-tested
+        (tests/test_sampler_loop_modes.py); the scan fence
+        (DIFFUSYNTH_BAD_SCAN_BATCHES) still falls back to python per
+        signature if a compiler fault ever regresses."""
         self.mesh = mesh
         self.loop_mode = loop_mode
         self.config = config or AppConfig()

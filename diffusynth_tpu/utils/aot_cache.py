@@ -87,14 +87,27 @@ def _code_digest() -> str:
     return _CODE_DIGEST
 
 
+# The library env vars that actually change what a program LOWERS to
+# (kernel fences, dispatch gates, prefix sharing — grep os.environ in
+# diffusynth_tpu/). Driver-side knobs (DIFFUSYNTH_BENCH_*,
+# DIFFUSYNTH_HARNESS_*) select WHICH programs get built — that identity
+# lives in the call sites' fast_key — and must NOT poison the
+# fingerprint (caught live: a bench knob caused spurious fast-key
+# misses for identical programs).
+_LOWERING_ENV = ("DIFFUSYNTH_BAD_STEP_BATCHES",
+                 "DIFFUSYNTH_BAD_SCAN_BATCHES",
+                 "DIFFUSYNTH_CFG_PREFIX_SHARE",
+                 "DIFFUSYNTH_BODY_PALLAS",
+                 "DIFFUSYNTH_CONV_MODE",
+                 "DIFFUSYNTH_GN_BARRIER")
+
+
 def _env_fingerprint() -> str:
-    """Environment that can change what a program lowers to: every
-    DIFFUSYNTH_* toggle (kernel fences, prefix sharing, ...) except the
-    cache's own switches, plus XLA/JAX flags."""
+    """Environment that can change what a program lowers to: the kernel
+    fences/gates above, plus XLA/JAX flags."""
     items = sorted(
         (k, v) for k, v in os.environ.items()
-        if (k.startswith("DIFFUSYNTH_") and not k.startswith(
-            "DIFFUSYNTH_AOT_")) or k in ("XLA_FLAGS", "JAX_PLATFORMS")
+        if k in _LOWERING_ENV or k in ("XLA_FLAGS", "JAX_PLATFORMS")
         or k.startswith("JAX_")
     )
     return repr(items)

@@ -105,6 +105,21 @@ def test_fast_key_skips_lowering(tmp_path, monkeypatch):
     assert calls
 
 
+def test_fast_key_env_fingerprint_scope(monkeypatch):
+    """Driver-side knobs (DIFFUSYNTH_BENCH_*, DIFFUSYNTH_HARNESS_*) must
+    NOT change the fast-key fingerprint — they select which programs get
+    built, not how a given program lowers (caught live r4: a bench knob
+    caused spurious fast-key misses). Lowering-relevant fences MUST."""
+    from diffusynth_tpu.utils.aot_cache import _env_fingerprint
+
+    base = _env_fingerprint()
+    monkeypatch.setenv("DIFFUSYNTH_BENCH_LOOP_MODE", "scan")
+    monkeypatch.setenv("DIFFUSYNTH_HARNESS_CFGS", "1.0")
+    assert _env_fingerprint() == base
+    monkeypatch.setenv("DIFFUSYNTH_BAD_STEP_BATCHES", "64")
+    assert _env_fingerprint() != base
+
+
 def test_fast_key_index_corruption_falls_back(tmp_path, monkeypatch):
     monkeypatch.setenv("DIFFUSYNTH_AOT_CACHE_DIR", str(tmp_path))
     from diffusynth_tpu.utils.aot_cache import aot_jit
