@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 
-def convert(role: str, pth_path: str, out_dir: str, name: str):
+def convert(role: str, pth_path: str, out_dir: str, name: str,
+            config=None):
     from diffusynth_tpu.compat import (
         convert_multimodal_state,
         convert_timbre_state,
@@ -28,7 +29,7 @@ def convert(role: str, pth_path: str, out_dir: str, name: str):
     from diffusynth_tpu.configs import AppConfig
     from diffusynth_tpu.train.checkpoints import Checkpointer
 
-    cfg = AppConfig()
+    cfg = config or AppConfig()
     state_dict = load_reference_checkpoint(pth_path)
     ckpt = Checkpointer(out_dir)
 
@@ -47,8 +48,10 @@ def convert(role: str, pth_path: str, out_dir: str, name: str):
         from diffusynth_tpu.nn.unet import ConditionedUnet
 
         model = ConditionedUnet(cfg.unet)
+        a = cfg.audio
         variables = model.init(
-            jax.random.key(0), jnp.zeros((1, 128, 8, 4)),
+            jax.random.key(0),
+            jnp.zeros((1, a.latent_height, 8, a.channels)),
             jnp.zeros(1, jnp.int32),
             jnp.zeros((1, cfg.unet.label_emb_dim)),
         )
@@ -58,15 +61,20 @@ def convert(role: str, pth_path: str, out_dir: str, name: str):
         from diffusynth_tpu.nn.timbre import TimbreEncoder
 
         model = TimbreEncoder(cfg.timbre)
-        variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 8, 4)))
+        a = cfg.audio
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, a.latent_height, 8, a.channels)))
         variables = convert_timbre_state(state_dict, variables)
         ckpt.save(name, "timbre_encoder", {"variables": variables, "step": 0})
     elif role == "mmm":
         from diffusynth_tpu.nn.multimodal import MultiModalModel
 
         model = MultiModalModel(cfg.multimodal, cfg.timbre)
+        a = cfg.audio
         variables = model.init(
-            jax.random.key(0), jnp.zeros((1, 128, 8, 4)),
+            jax.random.key(0),
+            jnp.zeros((1, a.latent_height, 8, a.channels)),
             jnp.zeros((1, cfg.multimodal.text_feature_dim)),
         )
         variables = convert_multimodal_state(state_dict, variables)

@@ -287,10 +287,18 @@ class DiffSynthSampler:
             np.asarray(sched.timestep_map).tobytes()
             + np.asarray(sched.alphas_cumprod, np.float64).tobytes()
         ).hexdigest()[:16]
-        fast_id = ("sampler", repr(sig), _sched_id,
-                   getattr(unet_apply, "program_identity", None),
-                   height, channels, train_width, self.max_width,
-                   strategy, repr(self.batch_sharding))
+        _model_id = getattr(unet_apply, "program_identity", None)
+        if _model_id is None:
+            # A direct DiffSynthSampler user whose unet_apply carries no
+            # program_identity: two different U-Nets with identical
+            # param-tree signatures would otherwise share a fast key and
+            # load each other's executables (advisor r4). fast_key=None
+            # falls back to the exact lowered-text path.
+            fast_id = None
+        else:
+            fast_id = ("sampler", repr(sig), _sched_id, _model_id,
+                       height, channels, train_width, self.max_width,
+                       strategy, repr(self.batch_sharding))
 
         def loop(params, init_img, cond, uncond, guide, init_noise,
                  mask_profiles, static_mask, key, cfg_scale):
@@ -491,8 +499,10 @@ class DiffSynthSampler:
                         body, (img, x0_prev), (i_w, masks_w, keys_w))
                     return img, x0_prev, traj
 
-                jitted_window = aot_jit(_window_impl, name="sampler_window",
-                                        fast_key=fast_id + ("W", W))
+                jitted_window = aot_jit(
+                    _window_impl, name="sampler_window",
+                    fast_key=None if fast_id is None
+                    else fast_id + ("W", W))
 
             def python_loop(params, init_img, cond, uncond, guide, init_noise,
                             mask_profiles, static_mask, key, cfg_scale):

@@ -75,3 +75,18 @@ def known_bad_step_batch(batch: int) -> bool:
             f"a known remote-compiler wedge (docs/SCAN_FAULT.md); "
             f"set {_ENV}=none to clear", stacklevel=3)
     return True
+
+
+def describe_fences() -> str:
+    """One-line summary of the active kernel fences, for startup banners
+    (bench.py, serving): the default denylist is empty since the r4 probe
+    came back clean twice, so if the Mosaic wedge ever regresses, a
+    banner showing 'step_fence=[] (default)' lets an operator triage in
+    one glance and set the env var (advisor r4, docs/SCAN_FAULT.md)."""
+    step = os.environ.get(_ENV)
+    scan = os.environ.get("DIFFUSYNTH_BAD_SCAN_BATCHES")
+    step_s = (f"{_ENV}={step}" if step is not None
+              else f"step_fence={sorted(_DEFAULT_BAD)} (default)")
+    scan_s = (f"DIFFUSYNTH_BAD_SCAN_BATCHES={scan}" if scan is not None
+              else "scan_fence=[] (default)")
+    return f"{step_s}; {scan_s}"

@@ -40,6 +40,18 @@ def _dtype_of(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+def _mesh_id(mesh) -> str:
+    """Stable descriptor of a mesh for AOT fast keys: a decode executable
+    compiled without a mesh must not fast-load into a mesh run whose
+    latents arrive sharded by the sampler (advisor r4 — the sharding
+    mismatch would surface as a call-time error with no fallback, because
+    the fast path skips the lowered-text verification)."""
+    if mesh is None:
+        return "nomesh"
+    return (f"mesh{tuple(mesh.devices.shape)}:{mesh.axis_names}:"
+            f"{tuple(int(d.id) for d in mesh.devices.flat)}")
+
+
 class DiffuSynthRuntime:
     """Bundle of models, params, text encoder, and jitted codec programs."""
 
@@ -94,13 +106,14 @@ class DiffuSynthRuntime:
             vqgan_variables = aot_jit(
                 self.vqgan.init, name="vqgan_init",
                 fast_key=("init", repr(self.config.vqgan),
-                          self.config.compute_dtype))(k_vq, x0)
+                          self.config.compute_dtype,
+                          _mesh_id(mesh)))(k_vq, x0)
         if unet_variables is None:
             z0 = jnp.zeros((1, a.latent_height, 8, a.channels))
             unet_variables = aot_jit(
                 self.unet.init, name="unet_init",
                 fast_key=("init", repr(self.config.unet),
-                          self.config.compute_dtype))(
+                          self.config.compute_dtype, _mesh_id(mesh)))(
                 k_unet, z0, jnp.zeros(1, jnp.int32),
                 jnp.zeros((1, self.config.unet.label_emb_dim)),
             )
@@ -239,7 +252,8 @@ class DiffuSynthRuntime:
             aot_jit, name="decode",
             static_argnames=("quantize", "audio_format"),
             fast_key=("decode", repr(self.config.vqgan),
-                      repr(self.config.audio), self.config.compute_dtype))
+                      repr(self.config.audio), self.config.compute_dtype,
+                      _mesh_id(self.mesh)))
         def decode(variables, latents, quantize=True, audio_format="f32"):
             if quantize:
                 latents, _, _ = vqgan.apply(
@@ -294,7 +308,8 @@ class DiffuSynthRuntime:
         @functools.partial(
             aot_jit, name="encode",
             fast_key=("encode", repr(self.config.vqgan),
-                      repr(self.config.audio), self.config.compute_dtype))
+                      repr(self.config.audio), self.config.compute_dtype,
+                      _mesh_id(self.mesh)))
         def encode(variables, audio):
             D = stft(audio, a.n_fft, a.hop_length, a.win_length)
             enc = encode_stft(pad_stft(D, None))      # (B, F, T, 3)

@@ -66,6 +66,19 @@ from diffusynth_tpu.serving.batcher import DeviceStuckError, MicroBatcher
 from diffusynth_tpu.serving.metrics import Metrics
 
 
+def pad_bucket(n: int, devices: int = 1) -> int:
+    """Round a merged batch up to a fixed size bucket so every batch size
+    reuses a compiled program (a fresh size = a multi-minute recompile
+    through the remote compiler). Under a DP mesh, buckets must also be
+    divisible by the device count so the batch axis shards evenly — on a
+    v5e-8 the buckets become {8, 16} and a single request executes as one
+    row per chip (same per-chip latency as b1 single-chip)."""
+    for b in (1, 2, 4, 8, 16):
+        if n <= b and b % devices == 0:
+            return b
+    return -(-n // devices) * devices
+
+
 def _wav_b64(audio: np.ndarray, sample_rate: int) -> str:
     """Standard PCM16 WAV, base64-encoded.
 
@@ -123,15 +136,11 @@ class DiffuSynthServer:
                 self._samplers[key] = s
             return self._samplers[key]
 
-    @staticmethod
-    def _pad_batch(n: int) -> int:
-        """Round the merged batch up to a fixed size bucket so every batch
-        size reuses a compiled program (a fresh size = a multi-minute
-        recompile through the remote compiler)."""
-        for b in (1, 2, 4, 8, 16):
-            if n <= b:
-                return b
-        return n
+    def _pad_batch(self, n: int) -> int:
+        """Bucket the merged batch (see pad_bucket); mesh-aware so sharded
+        serving launches always divide evenly over the DP axis."""
+        mesh = self.runtime.mesh
+        return pad_bucket(n, 1 if mesh is None else int(mesh.devices.size))
 
     def _run_batch(self, signature: Tuple, payloads: List[Dict]):
         """Batcher callback: signatures are namespaced by task family so
@@ -567,18 +576,40 @@ def make_server(host: str = "127.0.0.1", port: int = 8600,
 
 
 def build_runtime(checkpoint=None, quantize=None, use_ema=False,
-                  lora_name=None, config=None):
+                  lora_name=None, config=None, mesh="auto"):
     """Construct the serving runtime from CLI-level options.
 
     checkpoint: orbax models dir (from compat.convert_cli or train.run) —
     weights load via DiffuSynthRuntime.from_pretrained (use_ema prefers
     the UNet_ema role; lora_name bakes a UNet_lora adapter in at load
     time). None = random weights (smoke/serving-bench mode). quantize
-    ("int8") applies the W8A8 U-Net conv path either way. Returns None
-    when every option is default so make_server builds its own default
-    runtime (keeps the no-args path identical to before).
+    ("int8") applies the W8A8 U-Net conv path either way.
+
+    mesh: "auto" (default) builds a DP mesh over ALL visible devices when
+    more than one is present — on a v5e-8 the server shards every
+    coalesced batch over ICI out of the box (VERDICT r4 task 1; the
+    rebuild's north star, SURVEY.md §2.3 / BASELINE.md). "off" pins one
+    chip; an integer string meshes over that many devices. Returns None
+    when every option is default AND no mesh is wanted, so make_server
+    builds its own default runtime (keeps the no-args single-chip path
+    identical to before).
     """
-    if not (checkpoint or quantize or use_ema or lora_name):
+    mesh_obj = None
+    if mesh == "auto":
+        if jax.device_count() > 1:
+            from diffusynth_tpu.parallel.mesh import make_mesh
+
+            mesh_obj = make_mesh()
+    elif mesh not in (None, "off"):
+        from diffusynth_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh(int(mesh))
+    if mesh_obj is not None:
+        print(f"[serve] DP mesh over {mesh_obj.devices.size} devices "
+              f"({mesh_obj.axis_names[0]} axis); coalesced batches shard "
+              f"over ICI", flush=True)
+    if not (checkpoint or quantize or use_ema or lora_name
+            or mesh_obj is not None):
         return None
     if (use_ema or lora_name) and not checkpoint:
         # Without --checkpoint there are no trained weights to take the EMA
@@ -596,8 +627,9 @@ def build_runtime(checkpoint=None, quantize=None, use_ema=False,
             cfg, unet=dataclasses.replace(cfg.unet, quantize=quantize))
     if checkpoint:
         return DiffuSynthRuntime.from_pretrained(
-            checkpoint, config=cfg, use_ema=use_ema, lora_name=lora_name)
-    return DiffuSynthRuntime(cfg)
+            checkpoint, config=cfg, use_ema=use_ema, lora_name=lora_name,
+            mesh=mesh_obj)
+    return DiffuSynthRuntime(cfg, mesh=mesh_obj)
 
 
 def main(argv=None):
@@ -633,13 +665,20 @@ def main(argv=None):
     parser.add_argument("--lora-name", default=None,
                         help="bake the <name>_UNet_lora adapter from "
                              "--checkpoint into the U-Net at load time")
+    parser.add_argument("--mesh", default="auto",
+                        help="'auto' (default): DP-shard coalesced batches "
+                             "over all visible devices when >1 is present; "
+                             "'off': single chip; N: mesh over N devices")
     args = parser.parse_args(argv)
+    from diffusynth_tpu.ops.dispatch import describe_fences
+
+    print(f"[serve] kernel fences: {describe_fences()}", flush=True)
     print("initializing models (first TPU compile takes minutes)...",
           flush=True)
     quantize = None if args.quantize == "none" else args.quantize
     runtime = build_runtime(checkpoint=args.checkpoint,
                             quantize=quantize, use_ema=args.use_ema,
-                            lora_name=args.lora_name)
+                            lora_name=args.lora_name, mesh=args.mesh)
     server = make_server(args.host, args.port, runtime=runtime,
                          max_batch=args.max_batch,
                          window_ms=args.window_ms,

@@ -179,6 +179,44 @@ def make_diffusion_train_step(
     return init_fn, multi_step_fn
 
 
+def restore_diffusion_state(
+    unet_config: UNetConfig,
+    train_config: DiffusionTrainConfig,
+    checkpointer: Checkpointer,
+    latent_shape,                 # (H, W, C) — batch-independent template
+):
+    """Restore (variables, opt_state, step) from the UNet / UNet_opt roles
+    for --resume, or None when either role is absent. Templates come from
+    jax.eval_shape (no device compute or compile)."""
+    cfg = train_config
+    name = cfg.model_name
+    if not (checkpointer.exists(name, "UNet")
+            and checkpointer.exists(name, "UNet_opt")):
+        return None
+    unet = ConditionedUnet(unet_config, dtype=_dtype_of(cfg.compute_dtype))
+    H, W, C = latent_shape
+    var_tpl = jax.eval_shape(
+        unet.init, jax.random.key(0),
+        jax.ShapeDtypeStruct((1, H, W, C), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1, unet_config.label_emb_dim), jnp.float32))
+    init_fn, _ = make_diffusion_train_step(
+        unet, timesteps=cfg.timesteps, loss_type=cfg.loss_type,
+        uncondition_rate=cfg.uncondition_rate, lr=cfg.lr,
+        ema_decay=cfg.ema_decay,
+        steps_per_dispatch=max(1, int(getattr(cfg, "steps_per_dispatch", 1))))
+    opt_tpl = jax.eval_shape(init_fn, var_tpl)
+    restored = checkpointer.restore(name, "UNet",
+                                    {"variables": var_tpl, "step": 0})
+    restored_opt = checkpointer.restore(name, "UNet_opt",
+                                        {"opt_state": opt_tpl, "step": 0})
+    step = int(restored["step"])
+    assert step == int(restored_opt["step"]), (
+        "UNet / UNet_opt checkpoints are from different steps "
+        f"({step} vs {int(restored_opt['step'])})")
+    return restored["variables"], restored_opt["opt_state"], step
+
+
 def train_diffusion_model(
     unet_config: UNetConfig,
     train_config: DiffusionTrainConfig,
@@ -192,9 +230,22 @@ def train_diffusion_model(
     eval_fn: Optional[Callable] = None,   # step -> metric (e.g. IS)
     eval_every: int = 20_000,
     seed: int = 0,
+    init_opt_state=None,
+    start_step: int = 0,
 ):
     """Training loop (reference: diffusion.py:379-523). Returns (variables,
-    opt_state)."""
+    opt_state).
+
+    Resume (beyond the reference, whose resume restores model+optimizer
+    but replays neither data nor RNG, diffusion.py:443-447): the loop is
+    deterministic given (seed, step) — the per-dispatch PRNG key is
+    fold_in(key(seed+1), step) and the data stream is positional — so a
+    run restored via `init_variables`/`init_opt_state`/`start_step` (with
+    the iterator fast-forwarded by `start_step` batches, see
+    data_iterator(skip=...)) continues bit-identically to an unkilled
+    control. train/run.py --resume wires this up from the UNet/UNet_opt
+    checkpoint roles.
+    """
     cfg = train_config
     # Params/optimizer stay float32; cfg.compute_dtype (bfloat16 by
     # default) sets the forward/backward compute dtype — the module casts
@@ -219,7 +270,7 @@ def train_diffusion_model(
         ema_decay=cfg.ema_decay, steps_per_dispatch=K,
     )
     params = init_variables
-    opt_state = init_fn(params)
+    opt_state = init_fn(params) if init_opt_state is None else init_opt_state
     uncond = jnp.asarray(unconditional_condition, jnp.float32)
 
     if mesh is not None:
@@ -227,7 +278,7 @@ def train_diffusion_model(
         opt_state = replicate(opt_state, mesh)
         uncond = replicate(uncond, mesh)
 
-    key = jax.random.key(seed + 1)
+    base_key = jax.random.key(seed + 1)
     # MetricWindow: losses stay on device — float(loss) here would block
     # on every step and serialize the loop with the dispatch round trip
     # (the config-5 "wall >> device time" gap; see train/logging.py).
@@ -238,7 +289,7 @@ def train_diffusion_model(
         cadence is kept in optimizer steps whatever K is)."""
         return step // every != (step - K) // every
 
-    step = 0
+    step = int(start_step)
     while step < cfg.max_iter:
         if K == 1:
             data, attrs = next(iterator)
@@ -261,7 +312,10 @@ def train_diffusion_model(
             else:
                 latents = jnp.asarray(latents)
                 cond = jnp.asarray(cond)
-        key, sub = jax.random.split(key)
+        # Step-indexed key (not a sequential split chain): dispatch i's
+        # randomness depends only on (seed, step), so a resumed run
+        # replays the identical stream.
+        sub = jax.random.fold_in(base_key, step)
         params, opt_state, loss = step_fn(
             params, opt_state, sub, latents, cond, uncond
         )
@@ -273,6 +327,11 @@ def train_diffusion_model(
             current = losses.mean(max(1, cfg.save_steps // K))
             checkpointer.save(cfg.model_name, "UNet",
                               {"variables": params, "step": step})
+            # Optimizer state as a sibling role: what makes --resume a
+            # true continuation (the reference saves optimizer_state_dict
+            # in the same file, diffusion.py:496-504).
+            checkpointer.save(cfg.model_name, "UNet_opt",
+                              {"opt_state": opt_state, "step": step})
             if cfg.ema_decay:
                 # Separate role (not an extra key in the UNet payload):
                 # orbax's structure-matched restore rejects checkpoints

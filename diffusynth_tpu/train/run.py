@@ -148,6 +148,19 @@ def main(argv=None):
                         help="miniature model geometry (configs."
                              "tiny_app_config) for smoke round-trips")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="diffusion only: continue from the "
+                             "{name}_UNet + {name}_UNet_opt checkpoints "
+                             "in --models-dir; the data and PRNG streams "
+                             "replay deterministically, so a resumed run "
+                             "continues the killed one bit-identically "
+                             "(diffusion_train.restore_diffusion_state)")
+    parser.add_argument("--class-signal", default="offset",
+                        choices=["offset", "template"],
+                        help="synthetic-data condition signal: 'template' "
+                             "gives each instrument a distinct learnable "
+                             "pattern + a 1:1 create_key (the r5 "
+                             "prompt-adherence distribution, train/data.py)")
     args = parser.parse_args(argv)
 
     import os as _os
@@ -168,7 +181,8 @@ def main(argv=None):
         latent_shape = (a.latent_height, a.vae_scale * 16, a.channels)
         stft_shape = (a.freq_resolution, a.time_resolution, 3)
         shape = stft_shape if args.model == "vqgan" else latent_shape
-        dataset = SyntheticNSynthDataset(n=256, shape=shape)
+        dataset = SyntheticNSynthDataset(n=256, shape=shape,
+                                         class_signal=args.class_signal)
     else:
         dataset = NSynthDataset(
             args.data, task="latent" if args.latents else "STFT")
@@ -216,7 +230,24 @@ def main(argv=None):
             cfg = cfg.replace(compute_dtype=args.compute_dtype)
         if args.steps_per_dispatch is not None:
             cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
-        it = data_iterator(dataset, cfg.batch_size, seed=args.seed)
+        resume_state = None
+        if args.resume and not args.lora_rank:
+            from diffusynth_tpu.train.diffusion_train import (
+                restore_diffusion_state,
+            )
+
+            resume_state = restore_diffusion_state(
+                app.unet, cfg, ckpt,
+                (a.latent_height, a.vae_scale * 16, a.channels))
+            if resume_state is None:
+                print(f"# --resume: no {cfg.model_name}_UNet(+_opt) "
+                      f"checkpoint in {args.models_dir}; starting fresh")
+            else:
+                print(f"# resuming {cfg.model_name} from step "
+                      f"{resume_state[2]}")
+        skip = resume_state[2] if resume_state else 0
+        it = data_iterator(dataset, cfg.batch_size, seed=args.seed,
+                           skip=skip)
         uncond = np.zeros(app.unet.label_emb_dim, np.float32)
         if args.lora_rank:
             import jax
@@ -250,10 +281,15 @@ def main(argv=None):
                 logger=mk_logger(cfg.model_name, "UNet_lora"),
                 seed=args.seed)
         else:
+            kw = {}
+            if resume_state is not None:
+                kw = dict(init_variables=resume_state[0],
+                          init_opt_state=resume_state[1],
+                          start_step=resume_state[2])
             train_diffusion_model(app.unet, cfg, it, lookup, uncond,
                                   checkpointer=ckpt, mesh=mesh,
                                   logger=mk_logger(cfg.model_name, "UNet"),
-                                  seed=args.seed)
+                                  seed=args.seed, **kw)
     elif args.model == "timbre":
         cfg = TimbreTrainConfig(model_name=args.name or "timbre_encoder")
         if args.max_iter is not None:

@@ -39,8 +39,13 @@ from diffusynth_tpu.ui.display import (
 from diffusynth_tpu.ui.presets import load_presets
 
 
-def build_app(runtime: DiffuSynthRuntime):
-    """Assemble the gr.Blocks app (reference: app.py:72-91)."""
+def build_app(runtime: DiffuSynthRuntime, gan_generator=None):
+    """Assemble the gr.Blocks app (reference: app.py:72-91).
+
+    gan_generator: optional one-shot GAN generator (nn/gan.py) accepted
+    for parity with the reference's GradioWebUI plumbing (app.py:66 —
+    which passes None in production too); when provided it is kept on the
+    returned Blocks as `demo.gan_generator` for extensions."""
     import gradio as gr
 
     text2sound = Text2SoundPipeline(runtime)
@@ -157,6 +162,26 @@ def build_app(runtime: DiffuSynthRuntime):
         with gr.Tab("Inpaint"):
             inp_src = gr.Audio(label="Source audio", type="numpy")
             inp_prompt = gr.Textbox(label="Prompt", value="bells")
+            # Paintable mask editor (reference: inpaint_with_text.py:205-214
+            # — gr.ImageEditor transparency layers are averaged into the
+            # mask). The background fills with the source spectrogram on
+            # upload; painted layers union with the sliders below.
+            inp_editor = gr.ImageEditor(
+                label="Paint mask on the spectrogram (optional)",
+                value=None)
+
+            def _editor_background(audio_in):
+                sr, wave = audio_in
+                wave = np.asarray(wave, dtype=np.float32)
+                if wave.ndim == 2:
+                    wave = wave.mean(axis=1)
+                if wave.dtype == np.int16 or np.abs(wave).max() > 2.0:
+                    wave = wave / 32768.0
+                enc, _, _ = sound2sound.encode_origin_audio(wave, sr)
+                spec = spectrogram_to_image(np.asarray(enc[0]))
+                return {"background": spec, "layers": [], "composite": None}
+
+            inp_src.change(_editor_background, [inp_src], [inp_editor])
             with gr.Row():
                 t0s = gr.Slider(0, 8, value=1.0, label="Mask time begin (s)")
                 t1s = gr.Slider(0, 8, value=2.0, label="Mask time end (s)")
@@ -173,7 +198,33 @@ def build_app(runtime: DiffuSynthRuntime):
             inp_spec = gr.Image(label="Spectrogram")
             inp_audio = gr.Audio(label="Audio")
 
-            def _inpaint(audio_in, p, tb, te, fb, fe, ar, st, c, sd):
+            def _drawn_layers(editor_value, width):
+                """ImageEditor value -> pixel-space alpha layers at the
+                spectrogram resolution (F, vae_scale*W), or None. The
+                editor may rescale for display; resample each layer back
+                to the spectrogram grid so the 1/vae_scale zoom in
+                build_latent_mask lands on the latent grid."""
+                if not editor_value:
+                    return None
+                layers = editor_value.get("layers") or []
+                out = []
+                target = (a.freq_resolution, a.vae_scale * width)
+                for layer in layers:
+                    arr = np.asarray(layer, dtype=np.float32)
+                    if arr.ndim == 3:
+                        arr = arr[:, :, -1]       # alpha channel
+                    if arr.shape != target:
+                        from scipy.ndimage import zoom as _zoom
+
+                        arr = _zoom(arr, (target[0] / arr.shape[0],
+                                          target[1] / arr.shape[1]),
+                                    order=0)[:target[0], :target[1]]
+                    if arr.any():
+                        out.append(arr)
+                return out or None
+
+            def _inpaint(audio_in, editor_value, p, tb, te, fb, fe, ar, st,
+                         c, sd):
                 sr, wave = audio_in
                 wave = np.asarray(wave, dtype=np.float32)
                 if wave.ndim == 2:
@@ -183,7 +234,9 @@ def build_app(runtime: DiffuSynthRuntime):
                 _, _, zq = sound2sound.encode_origin_audio(wave, sr)
                 mask = build_latent_mask(
                     a.latent_height, zq.shape[2], a.vae_scale,
-                    a.time_resolution, mask_time_begin=tb, mask_time_end=te,
+                    a.time_resolution,
+                    drawn_layers=_drawn_layers(editor_value, zq.shape[2]),
+                    mask_time_begin=tb, mask_time_end=te,
                     mask_frequency_begin=fb // a.vae_scale,
                     mask_frequency_end=fe // a.vae_scale, inpaint_area=ar,
                 )
@@ -195,8 +248,8 @@ def build_app(runtime: DiffuSynthRuntime):
 
             gr.Button("Inpaint").click(
                 _inpaint,
-                [inp_src, inp_prompt, t0s, t1s, f0s, f1s, area, inp_steps,
-                 inp_cfg, inp_seed],
+                [inp_src, inp_editor, inp_prompt, t0s, t1s, f0s, f1s, area,
+                 inp_steps, inp_cfg, inp_seed],
                 [inp_spec, inp_audio],
             )
 
@@ -272,12 +325,54 @@ def build_app(runtime: DiffuSynthRuntime):
             )
 
         with gr.Tab("README"):
+            # Usage docs at parity with the reference's README tab
+            # (webUI/natural_language_guided_4/README.py:1-40), written
+            # for this rebuild.
             gr.Markdown(
-                "DiffuSynth-TPU: text-guided latent-diffusion timbre "
-                "synthesis and MIDI track rendering, rebuilt TPU-native "
-                "(JAX/XLA). Tabs mirror the reference DiffuSynth v0.2 app."
+                "## DiffuSynth-TPU — text-guided generation of musical "
+                "notes with a latent diffusion model\n"
+                "\n"
+                "TPU-native rebuild (JAX/XLA) of DiffuSynth v0.2; the tabs "
+                "mirror the reference app.\n"
+                "\n"
+                "### Training data\n"
+                "The model trains on the filtered NSynth dataset, whose "
+                "labels seed the caption vocabulary:\n\n"
+                "- **Instrument families**: bass, brass, flute, guitar, "
+                "keyboard, mallet, organ, reed, string, synth lead, "
+                "vocal.\n"
+                "- **Instrument sources**: acoustic, electronic, "
+                "synthetic.\n"
+                "- **Note qualities**: bright, dark, distortion, fast "
+                "decay, long release, multiphonic, nonlinear env, "
+                "percussive, reverb, tempo-synced.\n\n"
+                "You are not limited to these terms — with a CLAP text "
+                "encoder the model accepts natural-language prompts.\n"
+                "\n"
+                "### Usage hints\n"
+                "1. **Unique sounds** — start generating in Text2Sound.\n"
+                "2. **Batch browsing** — raise the batch size and audition "
+                "the variations.\n"
+                "3. **Editing sounds** — download generated audio and "
+                "re-upload it in Sound2Sound (text-guided img2img over "
+                "the noising-strength slider) or Inpaint (paint the mask "
+                "on the spectrogram, or use the time/frequency sliders; "
+                "'masked' repaints the selection, 'unmasked' preserves "
+                "it). You can also upload or record audio from any "
+                "source.\n"
+                "4. **Arrangement** — save a satisfying timbre with the "
+                "'Save' button, upload a MIDI file in the Arrangement "
+                "tab, assign the saved timbre per track, and render the "
+                "piece. Rendering batches every note over the device "
+                "mesh (unlike the reference's serial per-note loop).\n"
+                "\n"
+                "### Serving\n"
+                "The same pipelines serve over HTTP with request "
+                "coalescing: `python -m diffusynth_tpu.serving.server` "
+                "(see docs/API.md)."
             )
 
+    demo.gan_generator = gan_generator
     return demo
 
 

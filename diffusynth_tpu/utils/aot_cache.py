@@ -276,7 +276,12 @@ class AotJit:
             return None
         dev = jax.devices()[0]
         h = hashlib.sha256()
-        for part in (jax.__version__,
+        import flax
+
+        # flax is pinned alongside jax: a flax upgrade can change what a
+        # module lowers to, which the exact (lowered-text) path would
+        # catch but an identity-keyed fast entry would not (advisor r4).
+        for part in (jax.__version__, flax.__version__,
                      getattr(dev, "device_kind", str(dev)),
                      str(jax.device_count()), self._name, _code_digest(),
                      _env_fingerprint(), repr(self._fast_key), repr(sig)):
@@ -327,18 +332,28 @@ class AotJit:
             return
         try:
             path = self._index_path()
-            index = {}
-            if path.exists():
-                try:
-                    with open(path) as f:
-                        index = json.load(f)
-                except Exception:  # noqa: BLE001 — self-heal a corrupt index
-                    index = {}
-            index[fk] = aot_filename
-            tmp = path.with_suffix(".tmp-%d" % os.getpid())
-            with open(tmp, "w") as f:
-                json.dump(index, f, indent=0)
-            tmp.replace(path)
+            # Exclusive lock across processes for the read-modify-write:
+            # two concurrent first-runs of different signatures would
+            # otherwise each replace the index with only their own entry
+            # (advisor r4 — cost was a spurious re-lower next process).
+            import fcntl
+
+            path.parent.mkdir(parents=True, exist_ok=True)
+            lock = path.with_suffix(".lock")
+            with open(lock, "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                index = {}
+                if path.exists():
+                    try:
+                        with open(path) as f:
+                            index = json.load(f)
+                    except Exception:  # noqa: BLE001 — self-heal corruption
+                        index = {}
+                index[fk] = aot_filename
+                tmp = path.with_suffix(".tmp-%d" % os.getpid())
+                with open(tmp, "w") as f:
+                    json.dump(index, f, indent=0)
+                tmp.replace(path)
         except Exception as e:  # noqa: BLE001 — index is best-effort
             print(f"[aot-cache] {self._name}: fast-index write failed "
                   f"({type(e).__name__}: {e})", flush=True)

@@ -55,6 +55,11 @@ class Image(_Component):
     pass
 
 
+class ImageEditor(_Component):
+    """Real gradio's value is a dict {"background", "layers", "composite"};
+    the stub keeps whatever `value` was passed (None by default)."""
+
+
 class Audio(_Component):
     pass
 

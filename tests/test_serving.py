@@ -393,13 +393,20 @@ class TestHTTPServer:
         assert body["duration_sec"] > 5
 
     def test_batch_padding_buckets(self, server):
-        """3 concurrent requests pad to the 4-bucket (stable program sizes)."""
-        from diffusynth_tpu.serving.server import DiffuSynthServer
+        """3 concurrent requests pad to the 4-bucket (stable program sizes);
+        under a DP mesh the buckets grow to multiples of the device count
+        so the batch axis shards evenly (serving/server.py::pad_bucket)."""
+        from diffusynth_tpu.serving.server import pad_bucket
 
-        assert DiffuSynthServer._pad_batch(1) == 1
-        assert DiffuSynthServer._pad_batch(3) == 4
-        assert DiffuSynthServer._pad_batch(9) == 16
-        assert DiffuSynthServer._pad_batch(17) == 17
+        assert pad_bucket(1) == 1
+        assert pad_bucket(3) == 4
+        assert pad_bucket(9) == 16
+        assert pad_bucket(17) == 17
+        # mesh-aware: divisible by the device count
+        assert pad_bucket(1, devices=8) == 8
+        assert pad_bucket(3, devices=4) == 4
+        assert pad_bucket(9, devices=8) == 16
+        assert pad_bucket(17, devices=8) == 24
 
     def test_bad_request(self, server):
         try:

@@ -157,3 +157,42 @@ class TestBlocksAssembly:
         assert np.isfinite(audio2).all()
         n = min(len(audio), len(audio2))
         assert not np.allclose(audio[:n], audio2[:n])
+
+    def test_inpaint_drawn_mask_wiring(self, demo, runtime):
+        """The Inpaint tab's gr.ImageEditor feeds painted transparency
+        layers into build_latent_mask(drawn_layers=...) (reference:
+        inpaint_with_text.py:205-233): a layer painted over the left half
+        of the spectrogram must produce a different result than no layer,
+        and the editor background fills from the uploaded audio."""
+        a = runtime.config.audio
+        sr = a.sample_rate
+        t = np.arange(sr) / sr
+        wave = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+        bg = self._find(demo, "_editor_background", event="change")
+        editor_value = bg["fn"]((sr, wave))
+        assert editor_value["background"].dtype == np.uint8
+        F_px = editor_value["background"].shape[0]
+        assert F_px == a.freq_resolution
+
+        wiring = self._find(demo, "_inpaint")
+        # inputs: [src, editor, prompt, t0, t1, f0, f1, area, steps, cfg,
+        # seed] — use defaults except src/editor.
+        defaults = [c.value for c in wiring["inputs"]]
+        W_px = editor_value["background"].shape[1]
+        layer = np.zeros((F_px, W_px, 4), np.float32)
+        layer[:, : W_px // 2, 3] = 255.0          # paint the left half
+        painted = dict(editor_value, layers=[layer])
+
+        args_none = [(sr, wave), None] + defaults[2:]
+        args_drawn = [(sr, wave), painted] + defaults[2:]
+        # Small step count for CPU speed.
+        args_none[8] = args_drawn[8] = 3
+        spec_none, (r1, audio_none) = wiring["fn"](*args_none)
+        spec_drawn, (r2, audio_drawn) = wiring["fn"](*args_drawn)
+        assert r1 == r2 == sr
+        assert np.isfinite(audio_none).all()
+        assert np.isfinite(audio_drawn).all()
+        # The painted layer unions into the mask -> different repaint
+        # region -> different audio.
+        assert not np.allclose(audio_none, audio_drawn)
