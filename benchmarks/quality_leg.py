@@ -64,18 +64,23 @@ CFG_SCALE = 6.0
 SEED = 11
 
 
-def synthetic_dataset(app: AppConfig):
+def synthetic_dataset(app: AppConfig, class_signal: str = "offset"):
     from diffusynth_tpu.train import SyntheticNSynthDataset
 
     a = app.audio
-    # Identical constructor to int8_trained_fidelity.py so the latent
-    # distribution (and instrument structure) matches the r3 U-Net's
-    # training data.
+    # class_signal="offset": identical constructor to
+    # int8_trained_fidelity.py so the latent distribution (and instrument
+    # structure) matches the r3 U-Net's training data.
+    # class_signal="template": the r5 prompt-adherence distribution
+    # (distinct learnable pattern per instrument, 1:1 create_key).
     return SyntheticNSynthDataset(
-        n=256, shape=(a.latent_height, a.vae_scale * 16, a.channels))
+        n=256, shape=(a.latent_height, a.vae_scale * 16, a.channels),
+        class_signal=class_signal)
 
 
-def get_timbre_classifier(app: AppConfig):
+def get_timbre_classifier(app: AppConfig, class_signal: str = "offset",
+                          ckpt_root: str = TE_CKPT_ROOT,
+                          ckpt_name: str = TE_CKPT_NAME):
     """Train (or restore) the timbre-encoder classifier on the synthetic
     latent distribution; returns (apply_fn, params)."""
     from diffusynth_tpu.nn.timbre import TimbreEncoder
@@ -88,22 +93,22 @@ def get_timbre_classifier(app: AppConfig):
         input_dim=a.latent_height * a.channels,
         num_instrument_classes=16)       # SyntheticNSynthDataset default
     model = TimbreEncoder(te_cfg)
-    ckpt = Checkpointer(TE_CKPT_ROOT)
+    ckpt = Checkpointer(ckpt_root)
     width = a.vae_scale * 16
     template = jax.jit(model.init)(
         jax.random.key(0),
         jnp.zeros((1, a.latent_height, width, a.channels)))
-    if ckpt.exists(TE_CKPT_NAME, "timbre_encoder"):
-        params = ckpt.restore(TE_CKPT_NAME, "timbre_encoder",
+    if ckpt.exists(ckpt_name, "timbre_encoder"):
+        params = ckpt.restore(ckpt_name, "timbre_encoder",
                               {"variables": template, "step": 0})["variables"]
-        print(f"[te] restored {TE_CKPT_ROOT}/{TE_CKPT_NAME}", flush=True)
+        print(f"[te] restored {ckpt_root}/{ckpt_name}", flush=True)
     else:
-        ds = synthetic_dataset(app)
+        ds = synthetic_dataset(app, class_signal)
         # steps_per_dispatch=8: one device dispatch per 8 optimizer steps —
         # per-step tunnel round trips made K=1 training ~2 s/step here.
         cfg = TimbreTrainConfig(max_iter=TE_ITERS,
                                 save_steps=max(1, TE_ITERS // 4),
-                                model_name=TE_CKPT_NAME,
+                                model_name=ckpt_name,
                                 steps_per_dispatch=8)
         t0 = time.time()
         params, _ = train_timbre_encoder(
@@ -148,6 +153,20 @@ def main(argv=None):
     p.add_argument("--fast", action="store_true",
                    help="ddim-50 only (smoke)")
     p.add_argument("--n", type=int, default=N)
+    p.add_argument("--ckpt-root", default=CKPT_ROOT,
+                   help="U-Net checkpoint dir (default: the r3 run)")
+    p.add_argument("--ckpt-name", default=CKPT_NAME)
+    p.add_argument("--use-ema", action="store_true",
+                   help="prefer the UNet_ema role")
+    p.add_argument("--class-signal", default="offset",
+                   choices=["offset", "template"],
+                   help="synthetic distribution the checkpoint was "
+                        "trained on (template = the r5 run; consistency "
+                        "is then scored 16-way instead of by-group)")
+    p.add_argument("--te-root", default=None,
+                   help="classifier checkpoint dir (default keyed off "
+                        "class_signal so the r4 offset classifier is "
+                        "never reused for a template run)")
     args = p.parse_args(argv)
 
     from diffusynth_tpu.pipelines import DiffuSynthRuntime
@@ -160,22 +179,31 @@ def main(argv=None):
     width = a.vae_scale * 16       # the U-Net's training width (64)
 
     # --- classifier + trained U-Net ---------------------------------------
-    te_apply, te_params = get_timbre_classifier(app)
+    te_root = args.te_root or (
+        TE_CKPT_ROOT if args.class_signal == "offset"
+        else "runs/r5_adherence/models")
+    te_name = TE_CKPT_NAME if args.class_signal == "offset" else "r5te"
+    te_apply, te_params = get_timbre_classifier(
+        app, args.class_signal, te_root, te_name)
 
     base_rt = DiffuSynthRuntime(
         app, text_encoder=CachedTextEncoder(HashTextEncoder(512)), seed=0)
-    unet_params = Checkpointer(CKPT_ROOT).restore(
-        CKPT_NAME, "UNet",
+    ck = Checkpointer(args.ckpt_root)
+    role = "UNet_ema" if args.use_ema and ck.exists(args.ckpt_name,
+                                                    "UNet_ema") else "UNet"
+    unet_params = ck.restore(
+        args.ckpt_name, role,
         {"variables": base_rt.unet_variables, "step": 0})["variables"]
-    print(f"restored {CKPT_ROOT}/{CKPT_NAME}_UNet", flush=True)
+    print(f"restored {args.ckpt_root}/{args.ckpt_name}_{role}", flush=True)
 
     # --- conditions: one instrument per sample, spanning the training set -
-    ds = synthetic_dataset(app)
+    ds = synthetic_dataset(app, args.class_signal)
     _, attrs = ds.get_batch(np.arange(args.n) % len(ds))
     lookup = _condition_lookup(app.unet.label_emb_dim)
     cond = jnp.asarray(lookup(attrs), jnp.float32)          # (N, D)
     uncond = np.zeros(app.unet.label_emb_dim, np.float32)   # training CFG-drop
     inst_group = np.asarray([at["instrument"] % 5 for at in attrs])
+    cond_inst = np.asarray([at["instrument"] for at in attrs])
 
     def run_config(numerics: str, sampler: str, steps: int):
         capp = app
@@ -220,14 +248,20 @@ def main(argv=None):
             _, logp, *_ = te_apply(te_params, jnp.asarray(lat))
             logp = np.asarray(logp)
             scores = split_scores(logp)
-            # Conditional consistency: posterior mass (grouped by the
-            # learnable instrument%5 structure) on the conditioned group.
+            # Conditional consistency: posterior mass on the conditioned
+            # class. offset signal: grouped by its learnable instrument%5
+            # structure (chance ~0.2); template signal: the full 16-way
+            # instrument (chance 0.0625).
             probs = np.exp(logp)                        # (N, 16)
-            group_probs = np.zeros((len(probs), 5))
-            for k in range(16):
-                group_probs[:, k % 5] += probs[:, k]
-            consistency = float(
-                group_probs[np.arange(len(probs)), inst_group].mean())
+            if args.class_signal == "template":
+                consistency = float(
+                    probs[np.arange(len(probs)), cond_inst].mean())
+            else:
+                group_probs = np.zeros((len(probs), 5))
+                for k in range(16):
+                    group_probs[:, k % 5] += probs[:, k]
+                consistency = float(
+                    group_probs[np.arange(len(probs)), inst_group].mean())
             row = {
                 "numerics": numerics, "sampler": f"{sampler}-{steps}",
                 "is_mean": round(float(np.mean(scores)), 3),

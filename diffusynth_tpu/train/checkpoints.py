@@ -34,13 +34,31 @@ class Checkpointer:
     def save(self, name: str, role: str, state: Dict[str, Any],
              step: Optional[int] = None, overwrite: bool = True):
         """state: pytree dict, e.g. {"variables": ..., "opt_state": ...,
-        "step": ...}."""
+        "step": ...}.
+
+        Crash-safe overwrite: the new checkpoint is written NEXT TO the
+        old one and swapped in only after it is fully committed, so a
+        kill mid-save never destroys the last good checkpoint (the r5
+        endurance run caught the old rmtree-first ordering leaving a
+        window where exists() was False and a concurrent --resume
+        started from scratch).
+        """
+        import shutil
+
         path = self._path(name, role, step)
-        if overwrite and os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
-        self._ckpt.save(path, state)
+        if not (overwrite and os.path.exists(path)):
+            self._ckpt.save(path, state)
+            self._ckpt.wait_until_finished()
+            return
+        new = path + f".new-{os.getpid()}"
+        if os.path.exists(new):
+            shutil.rmtree(new)
+        self._ckpt.save(new, state)
         self._ckpt.wait_until_finished()
+        old = path + f".old-{os.getpid()}"
+        os.rename(path, old)        # atomic; tiny window between the two
+        os.rename(new, path)        # renames, never without a checkpoint
+        shutil.rmtree(old)
 
     def restore(self, name: str, role: str, template: Dict[str, Any],
                 step: Optional[int] = None) -> Dict[str, Any]:

@@ -211,9 +211,17 @@ def restore_diffusion_state(
     restored_opt = checkpointer.restore(name, "UNet_opt",
                                         {"opt_state": opt_tpl, "step": 0})
     step = int(restored["step"])
-    assert step == int(restored_opt["step"]), (
-        "UNet / UNet_opt checkpoints are from different steps "
-        f"({step} vs {int(restored_opt['step'])})")
+    if step != int(restored_opt["step"]):
+        # A crash can land between the UNet and UNet_opt saves of one
+        # checkpoint event; resuming with mismatched model/optimizer
+        # state would silently corrupt training. Refuse and start fresh.
+        import warnings
+
+        warnings.warn(
+            f"--resume: UNet / UNet_opt checkpoints are from different "
+            f"steps ({step} vs {int(restored_opt['step'])}); ignoring "
+            f"them and starting fresh", stacklevel=2)
+        return None
     return restored["variables"], restored_opt["opt_state"], step
 
 

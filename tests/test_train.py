@@ -815,3 +815,101 @@ class TestReferenceHDF5Schema:
               "--runs-dir", str(tmp_path / "runs")])
         ckpt = Checkpointer(str(tmp_path / "models"))
         assert ckpt.exists("unet", "UNet")
+
+
+class TestResume:
+    """Deterministic kill/resume (VERDICT r4 task 4): a run restored from
+    the UNet/UNet_opt roles with the iterator fast-forwarded continues
+    BIT-IDENTICALLY to a never-interrupted control. (The production-scale
+    TPU artifact is benchmarks/RESULTS_r5.md section 2; this is the tiny
+    CPU pin of the mechanics.)"""
+
+    def _run(self, tmp_path, name, max_iter, resume=False):
+        from diffusynth_tpu.train.run import main
+
+        main(["--model", "diffusion", "--synthetic", "--tiny",
+              "--class-signal", "template", "--max-iter", str(max_iter),
+              "--save-steps", "4", "--batch-size", "2",
+              "--models-dir", str(tmp_path / "models"), "--name", name,
+              "--runs-dir", str(tmp_path / "runs"),
+              "--ema-decay", "0.9"] + (["--resume"] if resume else []))
+
+    def test_resume_bit_identical(self, tmp_path):
+        from diffusynth_tpu.configs import (DiffusionTrainConfig,
+                                            tiny_app_config)
+        from diffusynth_tpu.train.diffusion_train import (
+            restore_diffusion_state,
+        )
+
+        app = tiny_app_config()
+        a = app.audio
+        shape = (a.latent_height, a.vae_scale * 16, a.channels)
+        # control: 8 steps straight; victim: 4 steps, "crash", resume to 8
+        self._run(tmp_path, "ctl", 8)
+        self._run(tmp_path, "res", 4)
+        self._run(tmp_path, "res", 8, resume=True)
+
+        ck = Checkpointer(str(tmp_path / "models"))
+        cfg = DiffusionTrainConfig(model_name="ctl", ema_decay=0.9,
+                                   batch_size=2, save_steps=4)
+        sA = restore_diffusion_state(app.unet, cfg, ck, shape)
+        sB = restore_diffusion_state(
+            app.unet, cfg.replace(model_name="res"), ck, shape)
+        assert sA[2] == sB[2] == 8
+        for x, y in zip(jax.tree_util.tree_leaves(sA[0]),
+                        jax.tree_util.tree_leaves(sB[0])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(sA[1]),
+                        jax.tree_util.tree_leaves(sB[1])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_restore_none_when_roles_missing(self, tmp_path):
+        from diffusynth_tpu.configs import (DiffusionTrainConfig,
+                                            tiny_app_config)
+        from diffusynth_tpu.train.diffusion_train import (
+            restore_diffusion_state,
+        )
+
+        app = tiny_app_config()
+        a = app.audio
+        ck = Checkpointer(str(tmp_path / "models"))
+        cfg = DiffusionTrainConfig(model_name="nope")
+        assert restore_diffusion_state(
+            app.unet, cfg, ck,
+            (a.latent_height, 8, a.channels)) is None
+
+    def test_data_iterator_skip_replays(self):
+        from diffusynth_tpu.train.data import data_iterator
+
+        ds = SyntheticNSynthDataset(n=16, shape=(4, 4, 3))
+        full = data_iterator(ds, batch_size=2, seed=7)
+        for _ in range(5):
+            next(full)
+        skipped = data_iterator(ds, batch_size=2, seed=7, skip=5)
+        for _ in range(3):
+            a, _ = next(full)
+            b, _ = next(skipped)
+            np.testing.assert_array_equal(a, b)
+
+    def test_crash_safe_overwrite_keeps_old_on_failure(self, tmp_path,
+                                                       monkeypatch):
+        """If writing the replacement checkpoint fails, the previous one
+        must survive (the old rmtree-first ordering destroyed it —
+        RESULTS_r5.md section 2 bug 1)."""
+        ck = Checkpointer(str(tmp_path / "m"))
+        state = {"variables": {"w": np.ones(3, np.float32)}, "step": 1}
+        ck.save("x", "UNet", state)
+
+        def boom(path, st):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(ck._ckpt, "save", boom)
+        try:
+            ck.save("x", "UNet", {"variables": {"w": np.zeros(3)},
+                                  "step": 2})
+        except RuntimeError:
+            pass
+        restored = ck.restore("x", "UNet", state)
+        assert int(restored["step"]) == 1
+        np.testing.assert_array_equal(np.asarray(restored["variables"]["w"]),
+                                      np.ones(3, np.float32))
